@@ -1,0 +1,181 @@
+"""Reverse-process samplers compiled to single ``lax.scan`` programs.
+
+The reference runs its samplers as Python loops of 50–1000 individually-launched
+model calls (reference: diffusion/samplers/ddpm.py:176-187, ddim.py:152-165). Here
+each sampler traces ONE scan over the timestep axis, so a full 1000-step DDPM chain
+(with fused CFG) is a single XLA program — launch overhead is paid once and XLA can
+pipeline/fuse across steps.
+
+The DDIM sampler carries the guided-completion hooks of the 3D pipeline —
+``replace_rgb`` / ``replace_depth`` / ``constrain_depth`` edits to the predicted
+x_0 each step, with eps recomputed from the edited x_0
+(reference: diffusion/samplers/ddim.py:48-103).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ivid_tpu.diffusion import schedules as sched
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PredX0Edits:
+    """3D-consistency edits applied to pred_x_0 at every DDIM step
+    (reference: diffusion/samplers/ddim.py:86-95; weights set at
+    inference/sample.py:104-119: rgb 0.1, depth 0.2, constrain 0.5).
+
+    - ``replace_rgb``:   (weight, rgb [B,H,W,3], mask [B,H,W,1]) — blend known RGB
+      into pred_x0 over unmasked pixels (skipped on the final step).
+    - ``replace_depth``: (weight, depth [B,H,W,1], mask [B,H,W,1]).
+    - ``constrain_depth``: (weight, convex [B,H,W,1]) — outside the depth mask,
+      pull pred depth up to at least the convex-hull depth.
+    """
+
+    replace_rgb: Optional[Tuple[jax.Array, jax.Array, jax.Array]] = None
+    replace_depth: Optional[Tuple[jax.Array, jax.Array, jax.Array]] = None
+    constrain_depth: Optional[Tuple[jax.Array, jax.Array]] = None
+
+
+def apply_pred_x0_edits(
+    pred_x_0: jax.Array, edits: Optional[PredX0Edits], nonzero_mask: jax.Array
+) -> jax.Array:
+    """(reference: diffusion/samplers/ddim.py:86-95)."""
+    if edits is None:
+        return pred_x_0
+    rgb, depth = pred_x_0[..., :3], pred_x_0[..., 3:]
+    if edits.replace_rgb is not None:
+        w, tgt, mask = edits.replace_rgb
+        blended = (w * tgt + (1 - w) * rgb) * mask + rgb * (1 - mask)
+        rgb = (1 - nonzero_mask) * rgb + nonzero_mask * blended
+    if edits.replace_depth is not None:
+        w, tgt, mask = edits.replace_depth
+        depth = (w * tgt + (1 - w) * depth) * mask + depth * (1 - mask)
+        if edits.constrain_depth is not None:
+            cw, convex = edits.constrain_depth
+            constrained = cw * jnp.maximum(depth, convex) + (1 - cw) * depth
+            depth = depth * mask + constrained * (1 - mask)
+    return jnp.concatenate([rgb, depth], axis=-1)
+
+
+def _nonzero_mask(t: jax.Array, ndim: int) -> jax.Array:
+    return (t != 0).astype(jnp.float32).reshape((-1,) + (1,) * (ndim - 1))
+
+
+def ddpm_sample(
+    framework,
+    params,
+    rng: jax.Array,
+    *,
+    num: Optional[int] = None,
+    image_size: Optional[int] = None,
+    channels: int = 4,
+    noise: Optional[jax.Array] = None,
+    cond=None,
+    guidance: float = 0.0,
+    clip_denoised: bool = False,
+    steps: Optional[int] = None,
+) -> dict:
+    """Full-T ancestral (DDPM) sampling as one scan
+    (reference: diffusion/samplers/ddpm.py:133-187). ``steps`` is accepted for
+    interface parity but must equal the schedule length (DDPM has no striding)."""
+    s = framework.schedule
+    T = s.timesteps
+    assert steps is None or steps == T, "DDPM sampler runs the full schedule"
+    if noise is None:
+        assert num is not None and image_size is not None
+        rng, rng_init = jax.random.split(rng)
+        noise = jax.random.normal(rng_init, (num, image_size, image_size, channels))
+    x = noise
+    nd = x.ndim
+
+    def step(x, i):
+        # i counts down: T-1 ... 0.
+        t = jnp.full((x.shape[0],), i, jnp.int32)
+        step_rng = jax.random.fold_in(rng, i)
+        rng_model, rng_noise = jax.random.split(step_rng)
+        eps = framework.model_inference(params, rng_model, x, t, cond, guidance)
+        pred_x_0 = sched.predict_xstart_from_eps(s, x, t, eps)
+        if clip_denoised:
+            pred_x_0 = jnp.clip(pred_x_0, -1.0, 1.0)
+        mean, _, log_var = sched.q_posterior_mean_variance(s, pred_x_0, x, t)
+        z = jax.random.normal(rng_noise, x.shape, x.dtype)
+        x_prev = mean + _nonzero_mask(t, nd) * jnp.exp(0.5 * log_var) * z
+        return x_prev, None
+
+    x, _ = jax.lax.scan(step, x, jnp.arange(T - 1, -1, -1))
+    return {"samples": x}
+
+
+def ddim_sample(
+    framework,
+    params,
+    rng: jax.Array,
+    *,
+    num: Optional[int] = None,
+    image_size: Optional[int] = None,
+    channels: int = 4,
+    noise: Optional[jax.Array] = None,
+    cond=None,
+    guidance: float = 0.0,
+    steps: Optional[int] = None,
+    eta: float = 0.0,
+    clip_denoised: bool = False,
+    edits: Optional[PredX0Edits] = None,
+) -> dict:
+    """Strided DDIM sampling as one scan, with guided pred_x_0 editing
+    (reference: diffusion/samplers/ddim.py:105-165). Step pairs are
+    ``(jump·(i+1), jump·i)`` for ``i = steps-1 … 0`` with ``jump = T // steps``;
+    the model is evaluated at ``t - 1`` (ddim.py:81,152-154)."""
+    s = framework.schedule
+    T = s.timesteps
+    steps = steps or T
+    jump = T // steps
+    if noise is None:
+        assert num is not None and image_size is not None
+        rng, rng_init = jax.random.split(rng)
+        noise = jax.random.normal(rng_init, (num, image_size, image_size, channels))
+    x = noise
+    nd = x.ndim
+
+    def step(x, i):
+        t = jnp.full((x.shape[0],), jump * (i + 1), jnp.int32)
+        t_prev = jnp.full((x.shape[0],), jump * i, jnp.int32)
+        nz = _nonzero_mask(t_prev, nd)
+        step_rng = jax.random.fold_in(rng, i)
+        rng_model, rng_noise = jax.random.split(step_rng)
+        eps = framework.model_inference(params, rng_model, x, t - 1, cond, guidance)
+        pred_x_0 = sched.predict_xstart_from_eps(s, x, t - 1, eps)
+        if clip_denoised:
+            pred_x_0 = jnp.clip(pred_x_0, -1.0, 1.0)
+        pred_x_0 = apply_pred_x0_edits(pred_x_0, edits, nz)
+        eps = sched.predict_eps_from_xstart(s, x, t - 1, pred_x_0)
+
+        alpha_bar = sched.extract(s.alphas_cumprod, t - 1, nd)
+        alpha_bar_prev = sched.extract(s.alphas_cumprod_prev, t_prev, nd)
+        sigma = (
+            eta
+            * jnp.sqrt((1 - alpha_bar_prev) / (1 - alpha_bar))
+            * jnp.sqrt(1 - alpha_bar / alpha_bar_prev)
+        )
+        mean = (
+            jnp.sqrt(alpha_bar_prev) * pred_x_0
+            + jnp.sqrt(1 - alpha_bar_prev - sigma**2) * eps
+        )
+        z = jax.random.normal(rng_noise, x.shape, x.dtype)
+        x_prev = mean + nz * sigma * z
+        return x_prev, None
+
+    x, _ = jax.lax.scan(step, x, jnp.arange(steps - 1, -1, -1))
+    return {"samples": x}
+
+
+def make_sampler(steps: int, timesteps: int = 1000):
+    """Pick DDPM for full-schedule sampling, DDIM otherwise
+    (reference: inference/sample.py:47)."""
+    return ddpm_sample if steps >= timesteps else ddim_sample

@@ -1,0 +1,201 @@
+"""Shape, invariance, and torch-parity tests for the ADM UNet backbone."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ivid_tpu.models import AdmUnet2d, build_adm_unet
+from ivid_tpu.models.torch_compat import pad_input_channels, torch_state_dict_to_flax
+
+from ref_loader import HAVE_REFERENCE, import_reference
+
+SMALL = dict(
+    image_size=32,
+    in_channels=4,
+    model_channels=32,
+    out_channels=4,
+    num_res_blocks=2,
+    channel_mult=(1, 2),
+    attention_resolutions=(16,),
+    num_groups=8,
+    num_heads=None,
+    num_head_channels=16,
+    num_classes=None,
+    has_null_class=False,
+    dropout=0.0,
+    use_fp16=False,
+)
+
+
+def _init(cfg, seed=0):
+    model = build_adm_unet(cfg)
+    x = jnp.zeros((2, cfg["image_size"], cfg["image_size"], cfg["in_channels"]))
+    t = jnp.zeros((2,), jnp.int32)
+    classes = jnp.zeros((2,), jnp.int32) if cfg["num_classes"] else None
+    params = model.init(jax.random.PRNGKey(seed), x, t, classes)["params"]
+    return model, params
+
+
+@pytest.mark.parametrize(
+    "overrides",
+    [
+        {},
+        {"num_classes": 10, "has_null_class": True},
+        {"in_channels": 10},
+        {"image_size": 64, "attention_resolutions": (32, 16)},
+    ],
+)
+def test_forward_shapes(overrides):
+    cfg = dict(SMALL, **overrides)
+    model, params = _init(cfg)
+    b = 2
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(b, cfg["image_size"], cfg["image_size"], cfg["in_channels"])),
+        jnp.float32,
+    )
+    t = jnp.array([0, 999], jnp.int32)
+    classes = jnp.array([1, -1], jnp.int32) if cfg["num_classes"] else None
+    out = model.apply({"params": params}, x, t, classes)
+    assert out.shape == (b, cfg["image_size"], cfg["image_size"], cfg["out_channels"])
+    assert jnp.isfinite(out).all()
+
+
+def test_zero_init_output():
+    """Output conv and attention proj are zero-initialized: a fresh model is the
+    identity-to-zero map (reference: adm.py zero_module usage, backbones/utils.py:27-33)."""
+    model, params = _init(SMALL)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 32, 32, 4)), jnp.float32)
+    out = model.apply({"params": params}, x, jnp.array([5], jnp.int32))
+    np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
+
+
+def test_null_class_equals_none():
+    """All-null class vector must equal passing classes=None (reference: adm.py:547-555)."""
+    cfg = dict(SMALL, num_classes=10, has_null_class=True)
+    model, params = _init(cfg)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 32, 32, 4)), jnp.float32)
+    t = jnp.array([3, 7], jnp.int32)
+    out_none = model.apply({"params": params}, x, t, None)
+    out_null = model.apply({"params": params}, x, t, jnp.array([-1, -1]))
+    np.testing.assert_allclose(np.asarray(out_none), np.asarray(out_null), atol=1e-6)
+
+
+def test_pad_input_channels():
+    cfg4 = dict(SMALL)
+    cfg10 = dict(SMALL, in_channels=10)
+    model4, params4 = _init(cfg4)
+    model10, params10 = _init(cfg10)
+    padded = pad_input_channels(params4, 10)
+    assert padded["in_conv"]["kernel"].shape == params10["in_conv"]["kernel"].shape
+    # Padded model on an input whose extra channels are arbitrary must match the
+    # original model on the first 4 channels (zeros contribute nothing).
+    x10 = jnp.asarray(np.random.default_rng(0).normal(size=(1, 32, 32, 10)), jnp.float32)
+    t = jnp.array([11], jnp.int32)
+    params_mix = dict(params10)
+    params_mix.update(padded)
+    # Use params4 for everything except in_conv (architectures differ only there).
+    full = jax.tree.map(lambda x: x, params4)
+    full["in_conv"] = padded["in_conv"]
+    out_pad = model10.apply({"params": full}, x10, t)
+    out_ref = model4.apply({"params": params4}, x10[..., :4], t)
+    np.testing.assert_allclose(np.asarray(out_pad), np.asarray(out_ref), atol=1e-6)
+
+
+@pytest.mark.skipif(not HAVE_REFERENCE, reason="reference checkout not available")
+@pytest.mark.parametrize(
+    "overrides",
+    [
+        {},
+        {"num_classes": 10, "has_null_class": True},
+        {
+            "image_size": 16,
+            "channel_mult": (1, 1, 2),
+            "attention_resolutions": (8, 4),
+            "num_head_channels": -1,
+            "num_heads": 2,
+        },
+    ],
+)
+def test_torch_parity(overrides):
+    """Numeric parity with the reference torch model under converted weights."""
+    import torch
+
+    ref = import_reference()
+    cfg = dict(SMALL, **overrides)
+
+    torch.manual_seed(0)
+    tm = ref.backbones.AdmUnet2d(
+        image_size=cfg["image_size"],
+        in_channels=cfg["in_channels"],
+        model_channels=cfg["model_channels"],
+        out_channels=cfg["out_channels"],
+        num_res_blocks=cfg["num_res_blocks"],
+        attention_resolutions=cfg["attention_resolutions"],
+        dropout=0.0,
+        channel_mult=cfg["channel_mult"],
+        num_classes=cfg["num_classes"],
+        has_null_class=cfg["has_null_class"],
+        use_fp16=False,
+        num_groups=cfg["num_groups"],
+        num_heads=cfg["num_heads"] or 1,
+        num_head_channels=cfg["num_head_channels"],
+    )
+    tm.eval()
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items() if "freqs" not in k}
+
+    model = build_adm_unet(cfg)
+    params = torch_state_dict_to_flax(sd, **{
+        k: cfg[k] for k in [
+            "image_size", "model_channels", "num_res_blocks", "channel_mult",
+            "attention_resolutions", "num_classes",
+        ]
+    })
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, cfg["image_size"], cfg["image_size"], cfg["in_channels"])).astype(np.float32)
+    t = np.array([17, 903])
+    classes = np.array([3, -1]) if cfg["num_classes"] else None
+
+    with torch.no_grad():
+        tx = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+        tout = tm(
+            tx,
+            torch.from_numpy(t).long(),
+            torch.from_numpy(classes).long() if classes is not None else None,
+        ).numpy()
+    tout = np.transpose(tout, (0, 2, 3, 1))
+
+    jout = model.apply(
+        {"params": params},
+        jnp.asarray(x),
+        jnp.asarray(t, jnp.int32),
+        jnp.asarray(classes, jnp.int32) if classes is not None else None,
+    )
+    np.testing.assert_allclose(np.asarray(jout), tout, atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.skipif(not HAVE_REFERENCE, reason="reference checkout not available")
+def test_param_count_matches_reference():
+    import torch
+
+    ref = import_reference()
+    cfg = dict(SMALL, num_classes=10, has_null_class=True)
+    tm = ref.backbones.AdmUnet2d(
+        image_size=cfg["image_size"],
+        in_channels=cfg["in_channels"],
+        model_channels=cfg["model_channels"],
+        out_channels=cfg["out_channels"],
+        num_res_blocks=cfg["num_res_blocks"],
+        attention_resolutions=cfg["attention_resolutions"],
+        channel_mult=cfg["channel_mult"],
+        num_classes=cfg["num_classes"],
+        has_null_class=cfg["has_null_class"],
+        num_groups=cfg["num_groups"],
+        num_heads=1,
+        num_head_channels=cfg["num_head_channels"],
+    )
+    n_torch = sum(p.numel() for p in tm.parameters())
+    model, params = _init(cfg)
+    n_flax = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    assert n_flax == n_torch
