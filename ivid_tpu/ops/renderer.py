@@ -1,0 +1,339 @@
+"""Mesh renderers: textured z-buffer raster and weighted multi-view aggregation.
+
+JAX equivalents of the reference's two OpenGL renderers and their GLSL shader
+suite (reference: rgbd_3d/moderngl_renderer.py SimpleRenderer:11-148,
+AggregationRenderer:151-340; rgbd_3d/shaders/*.{vsh,fsh,csh}), running entirely
+on-device:
+
+- :func:`render_simple` — single textured depth-mesh raster with depth test;
+  fragment alpha is zeroed on edge flags and backfaces but depth still writes
+  (reference: shaders/simple.fsh:13-18).
+- :func:`render_aggregation` — each view's mesh is rasterized into its OWN
+  z-buffer (occlusion is per-view), then fused per-pixel by view-angle weights
+  ``exp(-20·acos(dir·normal))`` with the eroded/edge/padding down-weighting and
+  the near-zero-weight depth-max branch of the compute shader
+  (reference: shaders/aggregation.fsh:28-49, aggregation.csh:27-38).
+
+Window-depth conventions match GL exactly (affine interpolation of window z,
+clear depth 1.0, '<' test), so the linearized readbacks are comparable to the
+reference pipeline (reference: moderngl_renderer.py:131-140,318-331).
+
+The frustum-padding skirt (the only large triangles in a depth mesh) is
+rasterized in a separate dense quad-lattice pass; interior faces use a compact
+triangle lattice sized to the SSAA factor.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ivid_tpu.ops import camera as cam
+from ivid_tpu.ops import raster
+from ivid_tpu.ops.geometry import Mesh
+
+
+def _texture_nearest(color: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
+    """GL_NEAREST, clamp-to-edge texture lookup. ``uv.y`` indexes image rows
+    directly (texture row v corresponds to data row, moderngl upload order)."""
+    s = color.shape[0]
+    j = jnp.clip(jnp.floor(uv[..., 0] * s).astype(jnp.int32), 0, s - 1)
+    i = jnp.clip(jnp.floor(uv[..., 1] * s).astype(jnp.int32), 0, s - 1)
+    return color[i, j]
+
+
+def _unpacked_flags(flag: jnp.ndarray) -> jnp.ndarray:
+    """Unpack the per-vertex flag bits to (edge, padding, eroded) floats, which
+    are then interpolated like GL varyings (reference: shaders/aggregation.vsh:26-28)."""
+    edge = jnp.mod(flag, 2.0)
+    padding = jnp.mod(jnp.floor(flag / 2.0), 2.0)
+    eroded = jnp.mod(jnp.floor(flag / 4.0), 2.0)
+    return jnp.stack([edge, padding, eroded], axis=-1)
+
+
+def _quad_fragments(
+    win, w, attrs, grid_size: int, render_size: int, level_u: int, level_v: int
+) -> raster.FragmentBatch:
+    """Dense bilinear-lattice sampling of the border ring of grid cells — the
+    frustum-padding skirt, whose triangles can span the whole frame. ``level_u``
+    samples across the ring width, ``level_v`` along elongation."""
+    n = grid_size - 1
+    i, j = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    border = (i == 0) | (i == n - 1) | (j == 0) | (j == n - 1)
+    bi, bj = i[border], j[border]
+    idx = np.arange(grid_size * grid_size).reshape(grid_size, grid_size)
+    tl = idx[bi, bj]
+    tr = idx[bi, bj + 1]
+    bl = idx[bi + 1, bj]
+    br = idx[bi + 1, bj + 1]
+    corners = jnp.asarray(np.stack([tl, tr, bl, br], axis=-1))  # [Q,4]
+
+    au = (np.arange(level_u) + 0.5) / level_u
+    av = (np.arange(level_v) + 0.5) / level_v
+    aa, bb = np.meshgrid(au, av, indexing="ij")
+    wts = np.stack(
+        [(1 - aa) * (1 - bb), (1 - aa) * bb, aa * (1 - bb), aa * bb], axis=-1
+    ).reshape(-1, 4).astype(np.float32)  # [S,4]
+    wts = jnp.asarray(wts)
+
+    qv = win[corners]  # [Q,4,3]
+    qw = w[corners]  # [Q,4]
+    qa = attrs[corners]  # [Q,4,A]
+
+    e1 = qv[:, 1, :2] - qv[:, 0, :2]
+    e2 = qv[:, 2, :2] - qv[:, 0, :2]
+    area2 = e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0]
+    # Corner order (tl, tr, bl) has NEGATIVE window area when front-facing under
+    # the grid triangulation's CCW convention (top row is +y).
+    front = area2 < 0.0
+    face_valid = jnp.all(qw > 1e-6, axis=-1)
+
+    pos = jnp.einsum("sk,qkc->qsc", wts, qv, precision=jax.lax.Precision.HIGHEST)
+    inv_w = 1.0 / qw
+    num = jnp.einsum("sk,qka->qsa", wts, qa * inv_w[..., None], precision=jax.lax.Precision.HIGHEST)
+    den = jnp.einsum("sk,qk->qs", wts, inv_w, precision=jax.lax.Precision.HIGHEST)
+    interp = num / den[..., None]
+
+    x = jnp.floor(pos[..., 0]).astype(jnp.int32)
+    y = jnp.floor(pos[..., 1]).astype(jnp.int32)
+    d = pos[..., 2]
+    valid = (
+        (x >= 0) & (x < render_size) & (y >= 0) & (y < render_size)
+        & (d >= 0.0) & (d <= 1.0) & face_valid[:, None]
+    )
+    q, s = d.shape
+    pixel = jnp.where(valid, y * render_size + x, render_size * render_size)
+    return raster.FragmentBatch(
+        pixel=pixel.reshape(-1),
+        depth=d.reshape(-1),
+        attrs=interp.reshape(q * s, -1),
+        front=jnp.broadcast_to(front[:, None], (q, s)).reshape(-1),
+        valid=valid.reshape(-1),
+    )
+
+
+def _raster_mesh(
+    mesh: Mesh,
+    vertex_attrs: jnp.ndarray,
+    modelview: jnp.ndarray,
+    projection: jnp.ndarray,
+    render_size: int,
+    interior_level: int,
+    skirt_level: int,
+    has_skirt: bool,
+):
+    """Rasterize one mesh, returning fragment batches (interior [+ skirt])."""
+    mvp = projection @ modelview
+    win, w = raster.project_vertices(mesh.positions, mvp, render_size)
+    grid_size = int(round(np.sqrt(mesh.positions.shape[0])))
+
+    frags = [
+        raster.generate_fragments(
+            win, w, vertex_attrs, mesh.faces, render_size, interior_level
+        )
+    ]
+    if has_skirt:
+        frags.append(
+            _quad_fragments(
+                win, w, vertex_attrs, grid_size, render_size,
+                level_u=4, level_v=skirt_level,
+            )
+        )
+    return frags
+
+
+def render_simple(
+    mesh: Mesh,
+    color: jnp.ndarray,
+    modelview: jnp.ndarray,
+    fov: float = 45.0,
+    render_size: int = 384,
+    near: float = 0.01,
+    far: float = 200.0,
+    interior_level: int = 6,
+    skirt_level: int = 192,
+    has_skirt: bool = True,
+) -> dict:
+    """Textured single-mesh raster (reference: moderngl_renderer.py:91-148 +
+    shaders/simple.{vsh,fsh}). Returns ``color`` [R,R,3], ``depth`` [R,R,1]
+    linearized with THIS renderer's near/far, ``mask`` [R,R,1] bool."""
+    flags = _unpacked_flags(mesh.flag)
+    attrs = jnp.concatenate([mesh.uv, flags[:, :1]], axis=-1)  # uv, edge
+    frags = _raster_mesh(
+        mesh, attrs, modelview, cam.perspective(fov, 1.0, near, far),
+        render_size, interior_level, skirt_level, has_skirt,
+    )
+
+    payloads = []
+    for f in frags:
+        uv = f.attrs[:, 0:2]
+        edge = f.attrs[:, 2]
+        rgb = _texture_nearest(color, uv)
+        # alpha=0 on edges and backfaces; depth still writes (simple.fsh:13-18).
+        alpha = jnp.where(f.front & (edge <= 0.999), 1.0, 0.0)
+        payloads.append(jnp.concatenate([rgb, alpha[:, None]], axis=-1))
+
+    payload, depth_win, _ = raster.resolve_zbuffer(frags, payloads, render_size)
+    depth = near * far / (far - depth_win * (far - near))
+    return {
+        "color": payload[..., :3],
+        "depth": depth[..., None],
+        "mask": payload[..., 3:4] > 0.5,
+    }
+
+
+def _aggregation_view_buffers(
+    mesh: Mesh,
+    color: jnp.ndarray,
+    modelview: jnp.ndarray,
+    projection: jnp.ndarray,
+    render_size: int,
+    interior_level: int,
+    skirt_level: int,
+    has_skirt: bool,
+):
+    """One view's raster into its own z-buffer, with the aggregation fragment
+    shader's view-angle weighting (reference: shaders/aggregation.fsh:19-51).
+    Returns (rgb [R,R,3], weight alpha [R,R], window depth [R,R])."""
+    flags = _unpacked_flags(mesh.flag)
+    attrs = jnp.concatenate(
+        [mesh.uv, flags, mesh.normal, mesh.positions], axis=-1
+    )  # uv(2) edge/pad/eroded(3) normal(3) world pos(3)
+    frags = _raster_mesh(
+        mesh, attrs, modelview, projection, render_size,
+        interior_level, skirt_level, has_skirt,
+    )
+    sample_camera = cam.camera_position(mesh.modelview)
+
+    payloads = []
+    new_frags = []
+    for f in frags:
+        uv = f.attrs[:, 0:2]
+        edge, padding, eroded = f.attrs[:, 2], f.attrs[:, 3], f.attrs[:, 4]
+        normal = f.attrs[:, 5:8]
+        pos = f.attrs[:, 8:11]
+        rgb = _texture_nearest(color, uv)
+
+        direction = sample_camera[None, :] - pos
+        direction = direction / jnp.maximum(
+            jnp.linalg.norm(direction, axis=-1, keepdims=True), 1e-12
+        )
+        nrm = normal / jnp.maximum(
+            jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-12
+        )
+        cos = jnp.clip(jnp.sum(direction * nrm, axis=-1), 0.0, 1.0)
+        wgt = jnp.exp(jnp.maximum(-20.0 * jnp.arccos(cos), -50.0))
+        wgt = jnp.maximum(wgt, 1e-4)
+        wgt = jnp.where(eroded >= 0.999, wgt * 1e-8, wgt)
+        wgt = jnp.where((padding > 0.001) | (edge > 0.999), 1e-16, wgt)
+        wgt = jnp.maximum(wgt, 1e-16)
+
+        # Backface: padding fragments discard (no depth write); others write
+        # depth with zero weight (aggregation.fsh:22-26).
+        alpha = jnp.where(f.front, wgt, 0.0)
+        discard = (~f.front) & (padding > 0.001)
+        new_frags.append(f._replace(valid=f.valid & ~discard))
+        payloads.append(jnp.concatenate([rgb, alpha[:, None]], axis=-1))
+
+    payload, depth_win, _ = raster.resolve_zbuffer(new_frags, payloads, render_size)
+    return payload[..., :3], payload[..., 3], depth_win
+
+
+def render_aggregation(
+    meshes: Mesh,
+    colors: jnp.ndarray,
+    valid: jnp.ndarray,
+    modelview: jnp.ndarray,
+    fov: float = 45.0,
+    render_size: int = 384,
+    near: float = 0.01,
+    far: float = 200.0,
+    interior_level: int = 6,
+    skirt_level: int = 192,
+    has_skirt: bool = True,
+) -> dict:
+    """Weighted multi-view fusion render (reference: moderngl_renderer.py:260-340
+    + shaders/aggregation.csh).
+
+    ``meshes`` is a stacked Mesh pytree with leading view axis N (fixed slot
+    count, like the reference's max_views=27 VBO slots, moderngl_renderer.py:161);
+    ``colors`` [N,s,s,3]; ``valid`` [N] bool marks live slots. Returns ``color``
+    [R,R,3], ``depth`` [R,R,1] (linearized), ``mask_color``/``mask_depth``
+    [R,R,1] bool.
+    """
+    projection = cam.perspective(fov, 1.0, near, far)
+    r = render_size
+
+    def body(state, view):
+        mesh, color, is_valid = view
+        rgb, alpha, d = _aggregation_view_buffers(
+            mesh, color, modelview, projection, r,
+            interior_level, skirt_level, has_skirt,
+        )
+        alpha = alpha * is_valid.astype(alpha.dtype)
+
+        acc_rgb, acc_a, acc_d, acc_dw, acc_md, acc_mc = state
+        weight_color = alpha
+        weight_depth = jnp.where(
+            alpha > 1e-14, 1.0, jnp.where(alpha > 0.0, 1e-8, 0.0)
+        )
+        mask_color = (alpha > 1e-6).astype(jnp.float32)
+        mask_depth = (alpha > 1e-14).astype(jnp.float32)
+
+        # Near-zero-weight depth-max branch (aggregation.csh:27-38): while only
+        # padding/edge-weight fragments have accumulated, keep the FARTHEST.
+        both_pad = (jnp.abs(acc_dw - 1e-8) < 1e-8) & (
+            jnp.abs(weight_depth - 1e-8) < 1e-8
+        )
+        replace = both_pad & (d * 1e-8 > acc_d)
+
+        def upd(acc, new, add):
+            return jnp.where(replace, new, jnp.where(both_pad, acc, acc + add))
+
+        contrib_rgb = rgb * weight_color[..., None]
+        acc_rgb = jnp.where(
+            replace[..., None],
+            contrib_rgb,
+            jnp.where(both_pad[..., None], acc_rgb, acc_rgb + contrib_rgb),
+        )
+        acc_a = upd(acc_a, weight_color, weight_color)
+        acc_d = upd(acc_d, d * 1e-8, d * weight_depth)
+        acc_dw = upd(acc_dw, 1e-8, weight_depth)
+        acc_md = acc_md + mask_depth
+        acc_mc = acc_mc + mask_color
+        return (acc_rgb, acc_a, acc_d, acc_dw, acc_md, acc_mc), None
+
+    init = (
+        jnp.zeros((r, r, 3)), jnp.zeros((r, r)), jnp.zeros((r, r)),
+        jnp.zeros((r, r)), jnp.zeros((r, r)), jnp.zeros((r, r)),
+    )
+    (acc_rgb, acc_a, acc_d, acc_dw, acc_md, acc_mc), _ = jax.lax.scan(
+        body, init, (meshes, colors, valid)
+    )
+
+    # Readback normalization (moderngl_renderer.py:318-331).
+    color = jnp.where(
+        acc_a[..., None] > 0.0, acc_rgb / jnp.maximum(acc_a[..., None], 1e-24), 0.0
+    )
+    depth_win = jnp.where(acc_dw > 0.0, acc_d / jnp.maximum(acc_dw, 1e-24), 0.0)
+    depth = near * far / (far - depth_win * (far - near))
+    return {
+        "color": color,
+        "depth": depth[..., None],
+        "mask_color": (acc_mc > 0.5)[..., None],
+        "mask_depth": (acc_md > 0.5)[..., None],
+    }
+
+
+def stack_meshes(meshes: list) -> Mesh:
+    """Stack single meshes into a leading-view-axis Mesh pytree."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *meshes)
+
+
+def empty_mesh_like(mesh: Mesh) -> Mesh:
+    """A degenerate (all-zero) mesh for unused aggregation slots; its zero
+    clip-space w makes every face invalid so it contributes nothing."""
+    return jax.tree.map(jnp.zeros_like, mesh)
