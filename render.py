@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Free-view fusion rendering CLI.
+
+Mirrors the reference renderer CLI (reference: inference/render.py:17-88): load
+saved scenes, render a 60-frame swing orbit or a single random pose with the
+aggregation renderer at 5x SSAA, write videos (color + colorized depth) or a
+PNG. The environment ships no ffmpeg, so "video" output is GIF (plus optional
+per-frame PNGs via --frames_dir); everything else matches the reference layout
+(``results/`` for random, ``videos/`` for swing).
+"""
+
+import argparse
+import glob
+import os
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--scene_dir", type=str, required=True)
+    p.add_argument("--output_dir", type=str, default=None)
+    p.add_argument("--frames", type=int, default=60)
+    p.add_argument("--traj", type=str, default="swing", choices=["swing", "random"])
+    p.add_argument("--atol", type=float, default=0.03)
+    p.add_argument("--rtol", type=float, default=0.03)
+    p.add_argument("--erode_rgb", type=int, default=3)
+    p.add_argument("--ssaa", type=int, default=5)
+    p.add_argument("--max_scenes", type=int, default=None)
+    p.add_argument("--save_frames", action="store_true")
+    return p.parse_args()
+
+
+def main():
+    opt = parse_args()
+    import imageio.v2 as imageio
+    import jax
+    import jax.numpy as jnp
+
+    from ivid_tpu.inference.scene_io import load_scene
+    from ivid_tpu.inference.viewsets import random_trajectory, swing_trajectory
+    from ivid_tpu.ops import geometry as geom
+    from ivid_tpu.ops import image as im_ops
+    from ivid_tpu.ops import renderer as rend
+    from ivid_tpu.utils import colorize_depth, to8b
+
+    if opt.output_dir is None:
+        opt.output_dir = opt.scene_dir
+    os.makedirs(os.path.join(opt.output_dir, "results"), exist_ok=True)
+    os.makedirs(os.path.join(opt.output_dir, "videos"), exist_ok=True)
+
+    scenes = sorted(glob.glob(os.path.join(opt.scene_dir, "scenes", "*.npz")))
+    if opt.max_scenes:
+        scenes = scenes[: opt.max_scenes]
+    print(f"Found {len(scenes)} scenes.")
+
+    max_views = 27
+    near, far = 0.1, 200.0
+
+    @jax.jit
+    def render_frame(meshes, colors, valid, mv):
+        s = colors.shape[1]
+        res = rend.render_aggregation(
+            meshes, colors, valid, mv, fov=45.0,
+            render_size=s * opt.ssaa, near=near, far=far,
+        )
+        color = im_ops.resize_lanczos_8bit(res["color"], s)
+        depth = im_ops.ssaa_subsample(res["depth"], opt.ssaa)
+        return color, depth
+
+    for i, scene_path in enumerate(scenes):
+        meshes, colors = load_scene(
+            scene_path, atol=opt.atol, rtol=opt.rtol, erode_rgb=opt.erode_rgb
+        )
+        n = len(meshes)
+        zero = jax.tree.map(jnp.zeros_like, meshes[0])
+        stacked = rend.stack_meshes(meshes + [zero] * (max_views - n))
+        col = jnp.asarray(
+            np.stack(colors + [np.zeros_like(colors[0])] * (max_views - n))
+        )
+        valid = jnp.asarray([True] * n + [False] * (max_views - n))
+
+        name = os.path.basename(scene_path)[:-4]
+        if opt.traj == "random":
+            mv = jnp.asarray(random_trajectory())
+            color, _ = render_frame(stacked, col, valid, mv)
+            imageio.imwrite(
+                os.path.join(opt.output_dir, "results", f"{name}.png"),
+                to8b(np.asarray(color)),
+            )
+        else:
+            frames_c, frames_d = [], []
+            for mv in swing_trajectory(opt.frames):
+                color, depth = render_frame(stacked, col, valid, jnp.asarray(mv))
+                frames_c.append(to8b(np.asarray(color)))
+                d = np.asarray(
+                    geom.project_depth(depth, near, far)
+                )[..., 0]
+                frames_d.append(to8b(colorize_depth(d, vmin=0, vmax=1)))
+            imageio.mimsave(
+                os.path.join(opt.output_dir, "videos", f"{name}.gif"),
+                frames_c, duration=1 / 30, loop=0,
+            )
+            imageio.mimsave(
+                os.path.join(opt.output_dir, "videos", f"{name}_depth.gif"),
+                frames_d, duration=1 / 30, loop=0,
+            )
+            if opt.save_frames:
+                fdir = os.path.join(opt.output_dir, "videos", name)
+                os.makedirs(fdir, exist_ok=True)
+                for k, fr in enumerate(frames_c):
+                    imageio.imwrite(os.path.join(fdir, f"{k:03d}.png"), fr)
+        print(f"[{i + 1}/{len(scenes)}] rendered {name}")
+
+
+if __name__ == "__main__":
+    main()

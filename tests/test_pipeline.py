@@ -1,0 +1,108 @@
+"""End-to-end tests of the multiview scene pipeline, scene IO, and viewsets."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ivid_tpu.diffusion import build_framework
+from ivid_tpu.inference.pipeline import ScenePipeline, _slot_bucket
+from ivid_tpu.inference.scene_io import load_first_view, load_scene, save_scene
+from ivid_tpu.inference.viewsets import REORDER_3X9, build_viewset, reorder
+from ivid_tpu.models import build_adm_unet
+
+BACKBONE_U = dict(
+    image_size=32, in_channels=4, out_channels=4, model_channels=32,
+    num_res_blocks=1, channel_mult=[1, 2], attention_resolutions=[16],
+    num_groups=8, num_heads=None, num_head_channels=16,
+    num_classes=None, has_null_class=False, dropout=0.0, use_fp16=False,
+)
+BACKBONE_C = dict(BACKBONE_U, in_channels=10)
+
+
+def _make_pipeline(steps_uncond=5, steps_cond=4):
+    mu = build_adm_unet(BACKBONE_U)
+    mc = build_adm_unet(BACKBONE_C)
+    # T=100: a 20-step linear schedule would hit beta=1.0 (alpha_bar=0).
+    fa = {"timesteps": 100, "beta_schedule": "linear"}
+    fwu = build_framework("GaussianDiffusion", mu, fa)
+    fwc = build_framework(
+        "InpaintCFG", mc, {**fa, "p_uncond": 0.1, "p_uncond_img": 0}
+    )
+
+    def init(m, c):
+        return m.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, c)),
+            jnp.zeros((1,), jnp.int32),
+        )["params"]
+
+    pu, pc = init(mu, 4), init(mc, 10)
+    pipe = ScenePipeline(
+        fwu, fwc, image_size=32, max_views=4,
+        steps_uncond=steps_uncond, steps_cond=steps_cond, guidance=0.0,
+    )
+    return pipe, pu, pc
+
+
+def test_slot_bucket():
+    assert [_slot_bucket(i, 27) for i in [1, 2, 3, 4, 5, 9, 17, 26]] == [
+        1, 2, 4, 4, 8, 16, 27, 27,
+    ]
+
+
+def test_pipeline_multiview(tmp_path):
+    pipe, pu, pc = _make_pipeline()
+    views = np.stack([np.asarray(v) for v in build_viewset("3x9", 1)[:3]])
+    state, samples, conds = pipe.sample_batch(
+        pu, pc, jax.random.PRNGKey(0), views, batch=2
+    )
+    assert samples.shape == (2, 3, 32, 32, 4)
+    assert np.isfinite(np.asarray(samples)).all()
+    assert conds["color"].shape == (2, 2, 32, 32, 3)
+    assert state.valid[:3].all() and not state.valid[3:].any()
+
+    # Scene IO round trip in the reference npz layout.
+    meshes, colors = pipe.state_to_host_scene(state, 0, 3)
+    path = str(tmp_path / "scene.npz")
+    save_scene(path, meshes, colors)
+    m2, c2 = load_scene(path)
+    assert len(m2) == 3 and len(c2) == 3
+    # PNG storage clips to [0,1] (reference save_scene does the same to8b clip).
+    np.testing.assert_allclose(
+        c2[0], np.clip(colors[0], 0, 1), atol=1 / 255 + 1e-6
+    )
+    # Depth stored losslessly (float32 bits through RGBA8 PNG).
+    np.testing.assert_array_equal(
+        np.asarray(m2[0].depth), np.asarray(meshes[0].depth)
+    )
+    np.testing.assert_allclose(
+        np.asarray(m2[0].modelview), np.asarray(meshes[0].modelview), atol=1e-6
+    )
+    fv = load_first_view(path)
+    assert fv.shape == (32, 32, 4)
+
+
+def test_pipeline_per_sample_views():
+    pipe, pu, pc = _make_pipeline(steps_uncond=3, steps_cond=2)
+    views = build_viewset("random", 2, np.random.default_rng(0))
+    views = np.asarray([np.stack(v) for v in views])
+    assert views.shape == (2, 2, 4, 4)
+    _, samples, _ = pipe.sample_batch(pu, pc, jax.random.PRNGKey(0), views, batch=2)
+    assert samples.shape == (2, 2, 32, 32, 4)
+
+
+def test_viewsets():
+    assert len(build_viewset("uncond", 5)) == 1
+    assert len(build_viewset("3x9", 5)) == 27
+    rv = build_viewset("random", 3)
+    assert len(rv) == 3 and len(rv[0]) == 2
+    assert sorted(REORDER_3X9) == list(range(27))
+    imgs = np.arange(27)[:, None, None, None] * np.ones((1, 4, 4, 3))
+    out = reorder(imgs)
+    assert out.shape == (27, 4, 4, 3)
+    assert out[13, 0, 0, 0] == 0  # canonical view lands at grid center
+    out26 = reorder(imgs[1:])
+    assert out26.shape == (27, 4, 4, 3)
+    assert (out26[13] == -1).all()  # placeholder first view

@@ -1,0 +1,171 @@
+"""Trainer tests on the 8-device virtual CPU mesh: data-parallel step, EMA,
+checkpoint round-trip, replication check, warp-in-step conditioning, TP mesh.
+
+This is the test coverage the reference only gets on a live cluster
+(SURVEY.md §4: check_ddp runs inside production training)."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ivid_tpu.config import Config
+from ivid_tpu.data import SyntheticRGBD, SyntheticRGBDSR, SyntheticRGBDWarp
+from ivid_tpu.diffusion import build_framework
+from ivid_tpu.models import build_adm_unet
+from ivid_tpu.training.trainer import BasicTrainer, InpaintTrainer, SuperResTrainer
+
+SMALL_BACKBONE = dict(
+    image_size=32, in_channels=4, out_channels=4, model_channels=32,
+    num_res_blocks=1, channel_mult=[1, 2], attention_resolutions=[16],
+    num_groups=8, num_heads=None, num_head_channels=16,
+    num_classes=None, has_null_class=False, dropout=0.0, use_fp16=False,
+)
+
+
+def _make(tmp_path, *, trainer_cls=BasicTrainer, framework="GaussianDiffusion",
+          fw_args=None, dataset=None, backbone=None, **kwargs):
+    backbone_args = dict(SMALL_BACKBONE, **(backbone or {}))
+    model = build_adm_unet(backbone_args)
+    fw = build_framework(
+        framework, model, fw_args or {"timesteps": 100, "beta_schedule": "linear"}
+    )
+    ds = dataset or SyntheticRGBD(
+        image_size=32, length=64, normalize=True, normalize_depth=True,
+        prepocess_depth="z_buffer",
+    )
+    extra = {}
+    if trainer_cls is not BasicTrainer:
+        extra["backbone_args"] = backbone_args
+    return trainer_cls(
+        fw, ds, str(tmp_path), max_steps=4, batch_size=8,
+        i_log=2, i_sample=10**9, i_save=10**9, i_ddpcheck=2, **extra, **kwargs
+    )
+
+
+def test_basic_trainer_steps_and_replication(tmp_path):
+    assert len(jax.devices()) == 8
+    tr = _make(tmp_path)
+    m0 = tr.run_step()
+    m1 = tr.run_step()
+    l0, l1 = float(m0["loss"]), float(m1["loss"])
+    assert np.isfinite(l0) and np.isfinite(l1)
+    # Zero-init output conv → first loss ≈ E||eps||² = 1.
+    assert abs(l0 - 1.0) < 0.2
+    from ivid_tpu.parallel import check_replication
+
+    check_replication(tr.params)
+    # EMA drifted from init by a tiny amount and differs from params.
+    diff = jax.tree.map(
+        lambda e, p: float(jnp.abs(e - p).max()), tr.ema_params[0], tr.params
+    )
+    assert max(jax.tree.leaves(diff)) > 0
+
+
+def test_gradient_accumulation_matches_single(tmp_path):
+    """batch_split must not change the optimization direction materially."""
+    tr1 = _make(tmp_path / "a", seed=7)
+    tr2 = _make(tmp_path / "b", seed=7, batch_split=2)
+    batch = {
+        "x_0": np.random.default_rng(0).normal(size=(8, 32, 32, 4)).astype(np.float32)
+    }
+    rng = jax.random.PRNGKey(3)
+    db = {k: jnp.asarray(v) for k, v in batch.items()}
+    p1, _, _, m1 = tr1._step_fn(tr1.params, tr1.opt_state, tr1.ema_params, rng, db)
+    p2, _, _, m2 = tr2._step_fn(tr2.params, tr2.opt_state, tr2.ema_params, rng, db)
+    # Same data, same init; different microbatching and per-microbatch rngs →
+    # losses comparable in magnitude (both ≈1 for zero-init model).
+    assert abs(float(m1["loss"]) - float(m2["loss"])) < 0.2
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    tr = _make(tmp_path)
+    tr.run_step()
+    tr.step = 3
+    tr.save()
+    tr2 = _make(tmp_path)
+    tr2.load(str(tmp_path), 3)
+    assert tr2.step == 3
+    a = jax.tree.leaves(jax.device_get(tr.params))
+    b = jax.tree.leaves(jax.device_get(tr2.params))
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+
+
+def test_finetune_channel_pad(tmp_path):
+    """Uncond 4ch checkpoint initializes a 10ch cond model with zero-padded
+    input conv (reference: inpaint.py:68-94)."""
+    tr = _make(tmp_path / "uncond")
+    tr.step = 1
+    tr.save()
+    ds = SyntheticRGBDWarp(
+        image_size=32, length=64, normalize=True, normalize_depth=True,
+        prepocess_depth="z_buffer", augments=["prewarp_noise", "blur", "erode_rgb"],
+    )
+    tr2 = _make(
+        tmp_path / "cond", trainer_cls=InpaintTrainer, framework="InpaintCFG",
+        fw_args={"timesteps": 100, "beta_schedule": "linear", "p_uncond": 0.1,
+                 "p_uncond_img": 0},
+        dataset=ds, backbone={"in_channels": 10},
+    )
+    from ivid_tpu.training.checkpoint import model_path
+
+    tr2.finetune_from(model_path(str(tmp_path / "uncond"), 1))
+    k = jax.device_get(tr2.params["in_conv"]["kernel"])
+    src = jax.device_get(tr.params["in_conv"]["kernel"])
+    np.testing.assert_array_equal(k[:, :, :4], src)
+    np.testing.assert_array_equal(k[:, :, 4:], 0)
+
+
+def test_inpaint_trainer_warp_in_step(tmp_path):
+    """The on-device warp produces a valid conditioning batch and a finite loss."""
+    ds = SyntheticRGBDWarp(
+        image_size=32, length=64, normalize=True, normalize_depth=True,
+        prepocess_depth="z_buffer", augments=["prewarp_noise", "blur", "erode_rgb"],
+    )
+    tr = _make(
+        tmp_path, trainer_cls=InpaintTrainer, framework="InpaintCFG",
+        fw_args={"timesteps": 100, "beta_schedule": "linear", "p_uncond": 0.1,
+                 "p_uncond_img": 0},
+        dataset=ds, backbone={"in_channels": 10},
+    )
+    batch = next(tr.loader)
+    db = {k: jnp.asarray(v) for k, v in batch.items()}
+    prepared = jax.jit(tr.prepare_batch)(db, jax.random.PRNGKey(0))
+    assert prepared["y"].shape == (8, 32, 32, 4)
+    assert prepared["mask"].shape == (8, 32, 32, 1)
+    assert prepared["mask_rgb"].shape == (8, 32, 32, 1)
+    assert prepared["pose"].shape == (8, 2)
+    m = np.asarray(prepared["mask"])
+    assert 0.1 < m.mean() <= 1.0
+    loss = tr.run_step()
+    assert np.isfinite(float(loss["loss"]))
+
+
+def test_superres_trainer(tmp_path):
+    ds = SyntheticRGBDSR(
+        image_size=32, image_size_lr=16, length=64, normalize=True,
+        normalize_depth=True, prepocess_depth="z_buffer",
+    )
+    tr = _make(
+        tmp_path, trainer_cls=SuperResTrainer, framework="SuperResCFG",
+        fw_args={"timesteps": 100, "beta_schedule": "linear", "p_uncond": 0.1},
+        dataset=ds, backbone={"in_channels": 8},
+    )
+    loss = tr.run_step()
+    assert np.isfinite(float(loss["loss"]))
+
+
+def test_tensor_parallel_mesh(tmp_path):
+    """TP=2 over the model axis: step runs and params stay consistent."""
+    tr = _make(tmp_path, model_parallel=2)
+    assert dict(tr.mesh.shape) == {"data": 4, "model": 2}
+    loss = tr.run_step()
+    assert np.isfinite(float(loss["loss"]))
+    # TP-sharded params exist (at least one param not fully replicated).
+    shardings = jax.tree.leaves(
+        jax.tree.map(lambda p: p.sharding.is_fully_replicated, tr.params)
+    )
+    assert not all(shardings)
