@@ -105,22 +105,36 @@ class BaseDataset:
         return image, depth, label
 
     def process_file(self, image, depth, label):
-        """(reference: base.py:117-139). Output NHWC float32."""
+        """(reference: base.py:117-139). Output NHWC float32. Uses the native
+        C++ resampler (native/image_ops.cpp, bit-exact with PIL) when built."""
         from PIL import Image
 
-        img = _lanczos_resize_center_crop(image, self.image_size, Image.LANCZOS)
-        img = np.asarray(img, np.float32) / 255.0
+        from ivid_tpu.data import native
+
+        img = None
+        if native.available():
+            arr = np.asarray(image)
+            if arr.dtype == np.uint8 and arr.ndim in (2, 3):
+                img = native.lanczos_resize_center_crop(arr, self.image_size)
+        if img is None:
+            pil = _lanczos_resize_center_crop(image, self.image_size, Image.LANCZOS)
+            img = np.asarray(pil, np.float32) / 255.0
         if img.ndim == 2:
             img = np.stack([img] * 3, -1)
+        if img.shape[-1] == 1:
+            img = np.concatenate([img] * 3, -1)
         if img.shape[-1] == 4:
             img = img[..., :3]
         if self.normalize:
             img = img * 2 - 1
 
-        d = _lanczos_resize_center_crop(
-            Image.fromarray(depth), self.image_size, Image.NEAREST
-        )
-        d = np.asarray(d, np.float32)[..., None]
+        if native.available():
+            d = native.nearest_resize_center_crop(depth, self.image_size)[..., None]
+        else:
+            d = _lanczos_resize_center_crop(
+                Image.fromarray(depth), self.image_size, Image.NEAREST
+            )
+            d = np.asarray(d, np.float32)[..., None]
         if self.normalize_depth:
             d = d * 2 - 1
 

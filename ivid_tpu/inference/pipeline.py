@@ -133,8 +133,8 @@ class ScenePipeline:
 
         return jax.vmap(one)(rgbd01, modelview)
 
-    def _cond_step_body(self, params, rng, meshes, colors, valid, modelview, classes):
-        """Aggregate condition + guided DDIM for one novel view (batched)."""
+    def _agg_body(self, meshes, colors, valid, modelview):
+        """Batched condition aggregation (per slot-bucket program)."""
 
         def agg_one(m, c, mv):
             return warp_ops.aggregate_conditions(
@@ -143,7 +143,13 @@ class ScenePipeline:
                 ssaa=self.ssaa,
             )
 
-        agg = jax.vmap(agg_one)(meshes, colors, modelview)
+        return jax.vmap(agg_one)(meshes, colors, modelview)
+
+    def _guided_ddim_body(self, params, rng, agg, classes):
+        """Guided DDIM completion — ONE compiled program reused by every view
+        (separate from aggregation, whose shape varies with the slot bucket;
+        keeping the UNet scan out of the per-bucket programs avoids recompiling
+        the expensive part six times)."""
         color2 = agg["color"] * 2 - 1
         depth2 = agg["depth"] * 2 - 1
         cond = {
@@ -160,15 +166,23 @@ class ScenePipeline:
         )
         out = samplers.ddim_sample(
             self.fw_cond, params, rng,
-            num=colors.shape[0], image_size=self.image_size,
+            num=agg["color"].shape[0], image_size=self.image_size,
             cond=cond, guidance=self.guidance, steps=self.steps_cond, edits=edits,
         )
-        return out["samples"], agg
+        return out["samples"]
+
+    def _cond_step_body(self, params, rng, meshes, colors, valid, modelview, classes):
+        agg = self._agg_fn(meshes, colors, valid, modelview)
+        samples = self._ddim_fn(params, rng, agg, classes)
+        return samples, agg
 
     def _get_cond_fn(self, bucket: int):
-        if bucket not in self._cond_fns:
-            self._cond_fns[bucket] = jax.jit(self._cond_step_body)
-        return self._cond_fns[bucket]
+        del bucket  # jit specializes by input shapes; bucket slicing is external
+        if not self._cond_fns:
+            self._agg_fn = jax.jit(self._agg_body)
+            self._ddim_fn = jax.jit(self._guided_ddim_body)
+            self._cond_fns[0] = self._cond_step_body
+        return self._cond_fns[0]
 
     # ---- host-side drivers ----
 

@@ -141,16 +141,15 @@ def generate_fragments(
     )
 
 
-def resolve_zbuffer(
+def resolve_zbuffer_scatter(
     fragments: Sequence[FragmentBatch],
     payloads: Sequence[jnp.ndarray],
     render_size: int,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Depth-test all fragment batches into one framebuffer.
-
-    ``payloads[i]`` is [N_i, K]. Returns ``(payload [R,R,K], depth_win [R,R],
-    covered [R,R])`` in image row order (row 0 = top; GL readback flip,
-    reference: moderngl_renderer.py:124-140). Ties at equal depth average."""
+    """Scatter-based depth test (reference semantics; see
+    :func:`resolve_zbuffer`). Kept for cross-checking — XLA:TPU scatters
+    serialize and dominate render time; the sorted resolve below is the
+    production path."""
     npix = render_size * render_size
     pix = jnp.concatenate([f.pixel for f in fragments])
     d = jnp.concatenate([f.depth for f in fragments])
@@ -179,6 +178,96 @@ def resolve_zbuffer(
     return out, depth_win, covered
 
 
+def _segmented_min_scan(values: jnp.ndarray, starts: jnp.ndarray) -> jnp.ndarray:
+    """Forward segmented running-min: within each run (delimited by ``starts``)
+    element i holds min(values[run_start..i]). Log-depth associative scan —
+    all vector ops, no scatter."""
+
+    def op(a, b):
+        va, fa = a
+        vb, fb = b
+        return jnp.where(fb, vb, jnp.minimum(va, vb)), fa | fb
+
+    out, _ = jax.lax.associative_scan(op, (values, starts))
+    return out
+
+
+def _segmented_sum_scan(values: jnp.ndarray, starts: jnp.ndarray) -> jnp.ndarray:
+    """Forward segmented running-sum along axis 0; ``values`` is [N, K]."""
+
+    def op(a, b):
+        va, fa = a
+        vb, fb = b
+        return jnp.where(fb[:, None], vb, va + vb), fa | fb
+
+    out, _ = jax.lax.associative_scan(op, (values, starts))
+    return out
+
+
+def resolve_zbuffer_sorted(
+    fragments: Sequence[FragmentBatch],
+    payloads: Sequence[jnp.ndarray],
+    render_size: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Depth-test all fragment batches into one framebuffer — sort-based,
+    scatter-free (TPU-native: XLA:TPU scatters serialize; sort + segmented
+    scans + binary-search gathers stay fully vectorized).
+
+    Algorithm: sort fragments by pixel id; a log-depth segmented scan computes
+    each pixel-run's depth minimum; the dense framebuffer reads each pixel's
+    run tail via ``searchsorted``; winners (depth == run min, GL '<' test
+    semantics) contribute payload via a segmented sum, tie-averaged.
+
+    ``payloads[i]`` is [N_i, K]. Returns ``(payload [R,R,K], depth_win [R,R],
+    covered [R,R])`` in image row order (row 0 = top; GL readback flip,
+    reference: moderngl_renderer.py:124-140)."""
+    npix = render_size * render_size
+    pix = jnp.concatenate([f.pixel for f in fragments])
+    d = jnp.concatenate([f.depth for f in fragments])
+    valid = jnp.concatenate([f.valid for f in fragments])
+    payload = jnp.concatenate(payloads, axis=0)
+
+    key = jnp.where(valid, pix, npix).astype(jnp.int32)
+    d_masked = jnp.where(valid, d, jnp.inf).astype(jnp.float32)
+    pix_s, d_s, order = jax.lax.sort(
+        (key, d_masked, jnp.arange(key.shape[0], dtype=jnp.int32)), num_keys=1
+    )
+    pay_s = jnp.take(payload, order, axis=0)
+
+    starts = jnp.concatenate(
+        [jnp.ones((1,), bool), pix_s[1:] != pix_s[:-1]]
+    )
+    runmin = _segmented_min_scan(d_s, starts)
+
+    # Winner mask needs the run TOTAL min, which lives at each run's tail; the
+    # dense zbuf is also read from run tails, so build it first and gather back.
+    pos = jnp.searchsorted(pix_s, jnp.arange(npix, dtype=jnp.int32), side="right") - 1
+    covered_flat = (pos >= 0) & (jnp.take(pix_s, jnp.maximum(pos, 0)) == jnp.arange(npix))
+    zbuf = jnp.where(
+        covered_flat, jnp.take(runmin, jnp.maximum(pos, 0)), jnp.inf
+    )
+
+    win = (d_s <= jnp.take(zbuf, jnp.minimum(pix_s, npix - 1))) & (pix_s < npix)
+    winf = win.astype(pay_s.dtype)
+    acc = _segmented_sum_scan(
+        jnp.concatenate([pay_s * winf[:, None], winf[:, None]], axis=-1), starts
+    )
+    acc_tail = jnp.take(acc, jnp.maximum(pos, 0), axis=0)
+    cnt = jnp.maximum(acc_tail[:, -1], 1.0)
+    out = jnp.where(
+        covered_flat[:, None], acc_tail[:, :-1] / cnt[:, None], 0.0
+    )
+
+    covered = covered_flat & jnp.isfinite(zbuf)
+    depth_win = jnp.where(covered, zbuf, 1.0)
+
+    r = render_size
+    out = jnp.flip(out.reshape(r, r, -1), axis=0)
+    depth_win = jnp.flip(depth_win.reshape(r, r), axis=0)
+    covered = jnp.flip(covered.reshape(r, r), axis=0)
+    return out, depth_win, covered
+
+
 def split_faces_border(grid_size: int) -> Tuple[np.ndarray, np.ndarray]:
     """Statically partition the 2*(S-1)^2 grid faces into interior and border-ring
     faces. Triangulation order matches :func:`ivid_tpu.ops.geometry.triangulate`:
@@ -194,3 +283,20 @@ def split_faces_border(grid_size: int) -> Tuple[np.ndarray, np.ndarray]:
     interior_faces = np.stack([2 * interior, 2 * interior + 1], -1).reshape(-1)
     border_faces = np.stack([2 * border, 2 * border + 1], -1).reshape(-1)
     return interior_faces.astype(np.int32), border_faces.astype(np.int32)
+
+
+def resolve_zbuffer(
+    fragments: Sequence[FragmentBatch],
+    payloads: Sequence[jnp.ndarray],
+    render_size: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Default depth-test resolve. The scatter path is the production default:
+    the sort-based variant runs fast but its combined program currently takes
+    the TPU compiler tens of minutes (sort + log-depth segmented scans blow up
+    compile time); opt in with ``IVID_TPU_SORTED_RASTER=1`` where the
+    persistent compilation cache makes that a one-time cost."""
+    import os
+
+    if os.environ.get("IVID_TPU_SORTED_RASTER") == "1":
+        return resolve_zbuffer_sorted(fragments, payloads, render_size)
+    return resolve_zbuffer_scatter(fragments, payloads, render_size)

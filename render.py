@@ -35,6 +35,10 @@ def main():
     opt = parse_args()
     import imageio.v2 as imageio
     import jax
+
+    from ivid_tpu.utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from ivid_tpu.inference.scene_io import load_scene

@@ -103,6 +103,10 @@ def async_save(meshes, colors, samples, conds, suffix, cfg):
 def main():
     opt = parse_args()
     import jax
+
+    from ivid_tpu.utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from ivid_tpu.config import Config, build_backbone, build_framework_from_config

@@ -1,0 +1,79 @@
+"""Dataset, loader, and native-resampler tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+from ivid_tpu.data import DataLoader, SyntheticRGBD, SyntheticRGBDSR
+from ivid_tpu.data import native
+
+
+def test_synthetic_dataset_and_loader():
+    ds = SyntheticRGBD(
+        image_size=32, length=40, num_classes=7, normalize=True,
+        normalize_depth=True, prepocess_depth="z_buffer",
+    )
+    item = ds[0]
+    assert item["x_0"].shape == (32, 32, 4)
+    assert item["x_0"].dtype == np.float32
+    assert -1.0 <= item["x_0"].min() and item["x_0"].max() <= 1.0
+    assert item["classes"] == 0
+
+    loader = iter(DataLoader(ds, batch_size=8, num_workers=2, seed=1))
+    b1 = next(loader)
+    assert b1["x_0"].shape == (8, 32, 32, 4)
+    assert b1["classes"].shape == (8,)
+    # Infinite cycling: more batches than one epoch.
+    for _ in range(10):
+        next(loader)
+
+
+def test_loader_sharding_disjoint():
+    ds = SyntheticRGBD(image_size=16, length=64, normalize=True,
+                       normalize_depth=True, prepocess_depth="z_buffer")
+    l0 = DataLoader(ds, batch_size=4, shuffle=False, shard_index=0, num_shards=2)
+    l1 = DataLoader(ds, batch_size=4, shuffle=False, shard_index=1, num_shards=2)
+    i0 = set(l0._epoch_indices(0).reshape(-1).tolist())
+    i1 = set(l1._epoch_indices(0).reshape(-1).tolist())
+    assert not (i0 & i1)
+    assert len(i0) == len(i1) == 32
+
+
+def test_sr_dataset():
+    ds = SyntheticRGBDSR(
+        image_size=32, image_size_lr=16, length=8, normalize=True,
+        normalize_depth=True, prepocess_depth="z_buffer",
+    )
+    item = ds[0]
+    assert item["x_0"].shape == (32, 32, 4)
+    assert item["y"].shape == (16, 16, 4)
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib not built")
+def test_native_resampler_matches_pil():
+    from PIL import Image
+
+    from ivid_tpu.data.base import _lanczos_resize_center_crop
+
+    rng = np.random.default_rng(0)
+    for h, w in [(200, 130), (64, 200), (129, 77)]:
+        img8 = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        ref = np.asarray(
+            _lanczos_resize_center_crop(Image.fromarray(img8), 48, Image.LANCZOS),
+            np.float32,
+        ) / 255.0
+        got = native.lanczos_resize_center_crop(img8, 48)
+        np.testing.assert_allclose(got, ref, atol=1.01 / 255)
+
+        d = rng.uniform(size=(h, w)).astype(np.float32)
+        refd = np.asarray(
+            _lanczos_resize_center_crop(Image.fromarray(d), 48, Image.NEAREST),
+            np.float32,
+        )
+        gotd = native.nearest_resize_center_crop(d, 48)
+        # PIL's nearest accumulates source positions incrementally in floats;
+        # exact integer-boundary ties can pick the neighboring texel. Allow
+        # those (≤ a couple of rows/cols), everything else must be identical.
+        mismatch = (gotd != refd).mean()
+        assert mismatch < 0.05, mismatch

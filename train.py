@@ -37,6 +37,10 @@ def main():
 
     import jax
 
+    from ivid_tpu.utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from ivid_tpu.config import Config, build_backbone, build_framework_from_config
     from ivid_tpu.data import DATASETS
     from ivid_tpu.training import checkpoint as ckpt_io
