@@ -128,13 +128,13 @@ class BaseDataset:
         if self.normalize:
             img = img * 2 - 1
 
-        if native.available():
-            d = native.nearest_resize_center_crop(depth, self.image_size)[..., None]
-        else:
-            d = _lanczos_resize_center_crop(
-                Image.fromarray(depth), self.image_size, Image.NEAREST
-            )
-            d = np.asarray(d, np.float32)[..., None]
+        # Depth stays on the PIL path: PIL's NEAREST tie-breaking follows its
+        # internal float accumulation and is not worth replicating bit-for-bit;
+        # depth resize is cheap relative to decode + Lanczos.
+        d = _lanczos_resize_center_crop(
+            Image.fromarray(depth), self.image_size, Image.NEAREST
+        )
+        d = np.asarray(d, np.float32)[..., None]
         if self.normalize_depth:
             d = d * 2 - 1
 
