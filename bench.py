@@ -32,8 +32,9 @@ import numpy as np
 def main():
     import jax
 
-    from ivid_tpu.utils.runtime import enable_compilation_cache
+    from ivid_tpu.utils.runtime import enable_compilation_cache, setup_platform
 
+    setup_platform()
     enable_compilation_cache()
     import jax.numpy as jnp
 

@@ -134,16 +134,21 @@ class ScenePipeline:
         return jax.vmap(one)(rgbd01, modelview)
 
     def _agg_body(self, meshes, colors, valid, modelview):
-        """Batched condition aggregation (per slot-bucket program)."""
+        """Batched condition aggregation (per slot-bucket program).
 
-        def agg_one(m, c, mv):
+        Sequential ``lax.map`` over the batch, NOT vmap: rasterization holds
+        ~0.5 GB of fragment buffers per sample, and a vmapped batch of 10
+        overruns device memory (observed TPU worker OOM-crash)."""
+
+        def agg_one(args):
+            m, c, mv = args
             return warp_ops.aggregate_conditions(
                 m, c, valid, mv, fov=self.fov, near=self.near, far=self.far,
                 atol=self.atol, rtol=self.rtol, erode_rgb=self.erode_rgb,
                 ssaa=self.ssaa,
             )
 
-        return jax.vmap(agg_one)(meshes, colors, modelview)
+        return jax.lax.map(agg_one, (meshes, colors, modelview))
 
     def _guided_ddim_body(self, params, rng, agg, classes):
         """Guided DDIM completion — ONE compiled program reused by every view

@@ -5,6 +5,18 @@ from __future__ import annotations
 import os
 
 
+def setup_platform() -> None:
+    """Honor ``IVID_TPU_PLATFORM`` (e.g. ``cpu``) through jax.config.
+
+    Plain ``JAX_PLATFORMS=cpu`` is not enough on machines where a hardware
+    plugin self-registers from sitecustomize; the config flag wins."""
+    platform = os.environ.get("IVID_TPU_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
+
 def enable_compilation_cache(path: str | None = None) -> None:
     """Enable JAX's persistent compilation cache.
 

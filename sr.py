@@ -36,8 +36,9 @@ def main():
     opt = parse_args()
     import jax
 
-    from ivid_tpu.utils.runtime import enable_compilation_cache
+    from ivid_tpu.utils.runtime import enable_compilation_cache, setup_platform
 
+    setup_platform()
     enable_compilation_cache()
     import jax.numpy as jnp
 

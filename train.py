@@ -25,6 +25,10 @@ def parse_args():
     p.add_argument("--model_parallel", type=int, default=1, help="TP mesh size")
     p.add_argument("--distributed", action="store_true", help="Multi-host init")
     p.add_argument("--max_steps", type=int, default=None, help="Override config")
+    p.add_argument(
+        "--profile_dir", type=str, default=None,
+        help="Trace the first steps with jax.profiler into this directory",
+    )
     return p.parse_args()
 
 
@@ -37,8 +41,9 @@ def main():
 
     import jax
 
-    from ivid_tpu.utils.runtime import enable_compilation_cache
+    from ivid_tpu.utils.runtime import enable_compilation_cache, setup_platform
 
+    setup_platform()
     enable_compilation_cache()
 
     from ivid_tpu.config import Config, build_backbone, build_framework_from_config
@@ -71,9 +76,26 @@ def main():
     )
 
     if jax.process_index() == 0:
+        # Run-directory artifacts (reference: train.py:88-89,146-149).
         with open(os.path.join(output_dir, "command.txt"), "a") as f:
             print(" ".join(sys.argv), file=f)
         cfg.save(os.path.join(output_dir, "config.json"))
+        try:
+            import jax.numpy as jnp
+
+            from ivid_tpu.utils.summary import model_summary
+
+            s = dataset.image_size
+            c = cfg.backbone["args"]["in_channels"]
+            example = (
+                jnp.zeros((1, s, s, c)),
+                jnp.zeros((1,), jnp.int32),
+                jnp.zeros((1,), jnp.int32) if model.num_classes else None,
+            )
+            with open(os.path.join(output_dir, "model_summary.txt"), "w") as f:
+                f.write(model_summary(model, trainer.params, example))
+        except Exception as e:  # noqa: BLE001 — summary is best-effort
+            print(f"model summary failed: {e}")
 
     step = opt.ckpt
     if step == "latest":
@@ -81,6 +103,14 @@ def main():
     if step is not None:
         trainer.load(opt.load_dir or output_dir, int(step))
         print(f"Resumed from step {trainer.step}")
+
+    if opt.profile_dir:
+        from ivid_tpu.utils.profiling import trace
+
+        with trace(opt.profile_dir):
+            for _ in range(3):
+                trainer.run_step()
+        print(f"profiler trace written to {opt.profile_dir}")
 
     trainer.run()
 
