@@ -153,7 +153,7 @@ def render_simple(
     render_size: int = 384,
     near: float = 0.01,
     far: float = 200.0,
-    interior_level: int = 6,
+    interior_level: int = 4,
     skirt_level: int = 192,
     has_skirt: bool = True,
 ) -> dict:
@@ -251,7 +251,7 @@ def render_aggregation(
     render_size: int = 384,
     near: float = 0.01,
     far: float = 200.0,
-    interior_level: int = 6,
+    interior_level: int = 4,
     skirt_level: int = 192,
     has_skirt: bool = True,
 ) -> dict:
