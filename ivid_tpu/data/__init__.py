@@ -7,6 +7,7 @@ from ivid_tpu.data.base import (
     WarpDataset,
 )
 from ivid_tpu.data.imagenet import ImageNet, ImageNetSR, ImageNetWarp
+from ivid_tpu.data.collect import collect_data
 from ivid_tpu.data.loader import DataLoader
 from ivid_tpu.data.single_category import (
     SingleCategory,
@@ -26,4 +27,4 @@ DATASETS = {
     "SyntheticRGBDWarp": SyntheticRGBDWarp,
 }
 
-__all__ = ["DATASETS", "DataLoader"] + list(DATASETS)
+__all__ = ["DATASETS", "DataLoader", "collect_data"] + list(DATASETS)

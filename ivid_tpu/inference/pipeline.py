@@ -83,6 +83,8 @@ class ScenePipeline:
         steps_cond: int = 50,
         guidance: float = 3.0,
         ssaa: int = 3,
+        agg_batch_mode: str = "map",
+        data_parallel: bool = False,
     ):
         self.fw_uncond = framework_uncond
         self.fw_cond = framework_cond
@@ -98,6 +100,20 @@ class ScenePipeline:
         self.steps_cond = steps_cond
         self.guidance = guidance
         self.ssaa = ssaa
+        assert agg_batch_mode in ("map", "vmap")
+        # Multi-chip inference: shard the batch over the data mesh axis — the
+        # TPU equivalent of the reference's per-GPU sampling processes
+        # (reference: inference/sample.py:340-348). Aggregation must then vmap
+        # over the (per-device small) batch rather than serialize it.
+        self.data_parallel = data_parallel
+        if data_parallel:
+            from ivid_tpu.parallel import make_mesh
+
+            self.mesh = make_mesh()
+            agg_batch_mode = "vmap"
+        else:
+            self.mesh = None
+        self.agg_batch_mode = agg_batch_mode
 
         self._uncond_fn = jax.jit(self._uncond_sample)
         self._mesh_fn = jax.jit(self._make_meshes)
@@ -136,19 +152,22 @@ class ScenePipeline:
     def _agg_body(self, meshes, colors, valid, modelview):
         """Batched condition aggregation (per slot-bucket program).
 
-        Sequential ``lax.map`` over the batch, NOT vmap: rasterization holds
+        ``map`` (default) runs the batch sequentially: rasterization holds
         ~0.5 GB of fragment buffers per sample, and a vmapped batch of 10
-        overruns device memory (observed TPU worker OOM-crash)."""
+        overruns a single 16 GB chip (observed TPU worker OOM-crash). ``vmap``
+        is for multi-chip runs where the batch is sharded over the data mesh
+        axis and per-device memory stays at a few samples."""
 
-        def agg_one(args):
-            m, c, mv = args
+        def agg_one(m, c, mv):
             return warp_ops.aggregate_conditions(
                 m, c, valid, mv, fov=self.fov, near=self.near, far=self.far,
                 atol=self.atol, rtol=self.rtol, erode_rgb=self.erode_rgb,
                 ssaa=self.ssaa,
             )
 
-        return jax.lax.map(agg_one, (meshes, colors, modelview))
+        if self.agg_batch_mode == "vmap":
+            return jax.vmap(agg_one)(meshes, colors, modelview)
+        return jax.lax.map(lambda a: agg_one(*a), (meshes, colors, modelview))
 
     def _guided_ddim_body(self, params, rng, agg, classes):
         """Guided DDIM completion — ONE compiled program reused by every view
@@ -245,6 +264,16 @@ class ScenePipeline:
         if noise is None:
             rng, rn = jax.random.split(rng)
             noise = jax.random.normal(rn, (batch, s, s, 4))
+        if self.mesh is not None:
+            from ivid_tpu.parallel import batch_sharding
+
+            shard = lambda x: jax.device_put(
+                x, batch_sharding(self.mesh, np.ndim(x))
+            )
+            noise = shard(noise)
+            mvs = shard(mvs)
+            if classes is not None:
+                classes = shard(classes)
         x0 = self._uncond_fn(params_uncond, r0, noise, classes)
         samples = [x0]
         conds = {"color": [], "depth": []}

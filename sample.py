@@ -39,6 +39,10 @@ def parse_args():
     p.add_argument("--atol", type=float, default=0.03)
     p.add_argument("--rtol", type=float, default=0.03)
     p.add_argument("--erode_rgb", type=int, default=3)
+    p.add_argument(
+        "--data_parallel", action="store_true",
+        help="Shard the sample batch over all local devices (multi-chip)",
+    )
     return p.parse_args()
 
 
@@ -178,7 +182,7 @@ def main():
         fov=opt.fov, near=opt.near, far=opt.far,
         atol=opt.atol, rtol=opt.rtol, erode_rgb=opt.erode_rgb,
         steps_uncond=opt.steps_uncond, steps_cond=opt.steps_cond,
-        guidance=opt.guidance,
+        guidance=opt.guidance, data_parallel=opt.data_parallel,
     )
 
     threads = []

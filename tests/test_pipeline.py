@@ -106,3 +106,21 @@ def test_viewsets():
     out26 = reorder(imgs[1:])
     assert out26.shape == (27, 4, 4, 3)
     assert (out26[13] == -1).all()  # placeholder first view
+
+
+def test_pipeline_data_parallel():
+    """Batch sharded over the 8-device CPU mesh; vmapped aggregation."""
+    import jax
+
+    pipe, pu, pc = _make_pipeline(steps_uncond=3, steps_cond=2)
+    pipe_dp = ScenePipeline(
+        pipe.fw_uncond, pipe.fw_cond, image_size=32, max_views=4,
+        steps_uncond=3, steps_cond=2, guidance=0.0, data_parallel=True,
+    )
+    views = np.stack([np.asarray(v) for v in build_viewset("3x9", 1)[:2]])
+    state, samples, _ = pipe_dp.sample_batch(
+        pu, pc, jax.random.PRNGKey(0), views, batch=8
+    )
+    assert samples.shape == (8, 2, 32, 32, 4)
+    assert np.isfinite(np.asarray(samples)).all()
+    assert pipe_dp.mesh.shape["data"] == 8
