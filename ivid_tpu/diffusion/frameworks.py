@@ -27,7 +27,7 @@ Batch/cond dict keys (all NHWC):
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional
+from typing import Any, ClassVar, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -50,6 +50,11 @@ class GaussianDiffusion:
 
     model: Any  # flax linen module with __call__(x, t, classes)
     schedule: sched.Schedule
+
+    # The base framework has no guidance concept — its reference counterpart
+    # takes no strength argument (gaussian_diffusion.py:76-91); only the CFG
+    # subclasses compose the two-branch prediction.
+    supports_cfg: ClassVar[bool] = False
 
     # ---- conditioning protocol (overridden by subclasses) ----
 
@@ -80,7 +85,7 @@ class GaussianDiffusion:
         cond = cond or {}
         packed = self.pack_inputs(rng, x, cond)
         classes = self._classes(cond)
-        if guidance and guidance > 0 and classes is not None:
+        if self.supports_cfg and guidance and guidance > 0 and classes is not None:
             x2 = _tile2(packed)
             t2 = _tile2(t)
             c2 = jnp.concatenate([classes, -jnp.ones_like(classes)], axis=0)
@@ -121,6 +126,7 @@ class ClassifierFreeGuidance(GaussianDiffusion):
     (reference: diffusion/frameworks/classifier_free_guidance.py:12-75)."""
 
     p_uncond: float = 0.1
+    supports_cfg: ClassVar[bool] = True
 
     def p_uncond_train(self) -> float:
         return self.p_uncond
@@ -139,6 +145,7 @@ class InpaintCFG(GaussianDiffusion):
 
     p_uncond: float = 0.1
     p_uncond_img: float = 0.0
+    supports_cfg: ClassVar[bool] = True
 
     def p_uncond_train(self) -> float:
         return self.p_uncond
@@ -193,6 +200,7 @@ class SuperResCFG(GaussianDiffusion):
     and concatenate → 8 channels (reference: diffusion/frameworks/sr_cfg.py:11-96)."""
 
     p_uncond: float = 0.1
+    supports_cfg: ClassVar[bool] = True
 
     def p_uncond_train(self) -> float:
         return self.p_uncond
