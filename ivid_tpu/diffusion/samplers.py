@@ -80,6 +80,7 @@ def ddpm_sample(
     guidance: float = 0.0,
     clip_denoised: bool = False,
     steps: Optional[int] = None,
+    return_trajectory: bool = False,
 ) -> dict:
     """Full-T ancestral (DDPM) sampling as one scan
     (reference: diffusion/samplers/ddpm.py:133-187). ``steps`` is accepted for
@@ -106,10 +107,16 @@ def ddpm_sample(
         mean, _, log_var = sched.q_posterior_mean_variance(s, pred_x_0, x, t)
         z = jax.random.normal(rng_noise, x.shape, x.dtype)
         x_prev = mean + _nonzero_mask(t, nd) * jnp.exp(0.5 * log_var) * z
-        return x_prev, None
+        out = (x_prev, pred_x_0) if return_trajectory else None
+        return x_prev, out
 
-    x, _ = jax.lax.scan(step, x, jnp.arange(T - 1, -1, -1))
-    return {"samples": x}
+    x, traj = jax.lax.scan(step, x, jnp.arange(T - 1, -1, -1))
+    ret = {"samples": x}
+    if return_trajectory:
+        # Stacked per-step [T, B, ...] arrays, matching the reference's
+        # pred_x_t / pred_x_0 lists (reference: ddpm.py:177-186).
+        ret["pred_x_t"], ret["pred_x_0"] = traj
+    return ret
 
 
 def ddim_sample(
@@ -127,6 +134,7 @@ def ddim_sample(
     eta: float = 0.0,
     clip_denoised: bool = False,
     edits: Optional[PredX0Edits] = None,
+    return_trajectory: bool = False,
 ) -> dict:
     """Strided DDIM sampling as one scan, with guided pred_x_0 editing
     (reference: diffusion/samplers/ddim.py:105-165). Step pairs are
@@ -169,10 +177,14 @@ def ddim_sample(
         )
         z = jax.random.normal(rng_noise, x.shape, x.dtype)
         x_prev = mean + nz * sigma * z
-        return x_prev, None
+        out = (x_prev, pred_x_0) if return_trajectory else None
+        return x_prev, out
 
-    x, _ = jax.lax.scan(step, x, jnp.arange(steps - 1, -1, -1))
-    return {"samples": x}
+    x, traj = jax.lax.scan(step, x, jnp.arange(steps - 1, -1, -1))
+    ret = {"samples": x}
+    if return_trajectory:
+        ret["pred_x_t"], ret["pred_x_0"] = traj
+    return ret
 
 
 def make_sampler(steps: int, timesteps: int = 1000):

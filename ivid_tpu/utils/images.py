@@ -75,7 +75,10 @@ def make_grid(
 def save_image(path: str, image: np.ndarray) -> None:
     import imageio.v2 as imageio
 
-    imageio.imwrite(path, to8b(np.asarray(image)))
+    image = np.asarray(image)
+    if image.ndim == 3 and image.shape[-1] == 1:
+        image = image[..., 0]  # single-channel → grayscale 2D
+    imageio.imwrite(path, to8b(image))
 
 
 def save_image_grid(
