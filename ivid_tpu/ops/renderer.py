@@ -139,7 +139,7 @@ def _raster_mesh(
         frags.append(
             _quad_fragments(
                 win, w, vertex_attrs, grid_size, render_size,
-                level_u=4, level_v=skirt_level,
+                level_u=2, level_v=skirt_level,
             )
         )
     return frags
@@ -167,21 +167,22 @@ def render_simple(
         render_size, interior_level, skirt_level, has_skirt,
     )
 
+    # Payload carries uv, not rgb: the texture lookup happens ONCE per resolved
+    # pixel instead of once per fragment (~6x fewer gathers at SSAA density).
     payloads = []
     for f in frags:
-        uv = f.attrs[:, 0:2]
         edge = f.attrs[:, 2]
-        rgb = _texture_nearest(color, uv)
         # alpha=0 on edges and backfaces; depth still writes (simple.fsh:13-18).
         alpha = jnp.where(f.front & (edge <= 0.999), 1.0, 0.0)
-        payloads.append(jnp.concatenate([rgb, alpha[:, None]], axis=-1))
+        payloads.append(jnp.concatenate([f.attrs[:, 0:2], alpha[:, None]], axis=-1))
 
-    payload, depth_win, _ = raster.resolve_zbuffer(frags, payloads, render_size)
+    payload, depth_win, covered = raster.resolve_zbuffer(frags, payloads, render_size)
+    rgb = _texture_nearest(color, payload[..., 0:2]) * covered[..., None]
     depth = near * far / (far - depth_win * (far - near))
     return {
-        "color": payload[..., :3],
+        "color": rgb,
         "depth": depth[..., None],
-        "mask": payload[..., 3:4] > 0.5,
+        "mask": payload[..., 2:3] > 0.5,
     }
 
 
@@ -199,34 +200,36 @@ def _aggregation_view_buffers(
     shader's view-angle weighting (reference: shaders/aggregation.fsh:19-51).
     Returns (rgb [R,R,3], weight alpha [R,R], window depth [R,R])."""
     flags = _unpacked_flags(mesh.flag)
+
+    # View-angle weight computed per VERTEX and interpolated, instead of per
+    # fragment from interpolated normal/position (the GL shader does the
+    # latter, aggregation.fsh:28-35). Depth-mesh faces are ~1 SSAA pixel wide,
+    # so interpolating the weight across a face is indistinguishable — and it
+    # drops 6 attribute channels and ~1M transcendentals per raster.
+    sample_camera = cam.camera_position(mesh.modelview)
+    direction = sample_camera[None, :] - mesh.positions
+    direction = direction / jnp.maximum(
+        jnp.linalg.norm(direction, axis=-1, keepdims=True), 1e-12
+    )
+    nrm = mesh.normal / jnp.maximum(
+        jnp.linalg.norm(mesh.normal, axis=-1, keepdims=True), 1e-12
+    )
+    cos = jnp.clip(jnp.sum(direction * nrm, axis=-1), 0.0, 1.0)
+    wgt_vertex = jnp.exp(jnp.maximum(-20.0 * jnp.arccos(cos), -50.0))
+
     attrs = jnp.concatenate(
-        [mesh.uv, flags, mesh.normal, mesh.positions], axis=-1
-    )  # uv(2) edge/pad/eroded(3) normal(3) world pos(3)
+        [mesh.uv, flags, wgt_vertex[:, None]], axis=-1
+    )  # uv(2) edge/pad/eroded(3) weight(1)
     frags = _raster_mesh(
         mesh, attrs, modelview, projection, render_size,
         interior_level, skirt_level, has_skirt,
     )
-    sample_camera = cam.camera_position(mesh.modelview)
 
     payloads = []
     new_frags = []
     for f in frags:
-        uv = f.attrs[:, 0:2]
         edge, padding, eroded = f.attrs[:, 2], f.attrs[:, 3], f.attrs[:, 4]
-        normal = f.attrs[:, 5:8]
-        pos = f.attrs[:, 8:11]
-        rgb = _texture_nearest(color, uv)
-
-        direction = sample_camera[None, :] - pos
-        direction = direction / jnp.maximum(
-            jnp.linalg.norm(direction, axis=-1, keepdims=True), 1e-12
-        )
-        nrm = normal / jnp.maximum(
-            jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-12
-        )
-        cos = jnp.clip(jnp.sum(direction * nrm, axis=-1), 0.0, 1.0)
-        wgt = jnp.exp(jnp.maximum(-20.0 * jnp.arccos(cos), -50.0))
-        wgt = jnp.maximum(wgt, 1e-4)
+        wgt = jnp.maximum(f.attrs[:, 5], 1e-4)
         wgt = jnp.where(eroded >= 0.999, wgt * 1e-8, wgt)
         wgt = jnp.where((padding > 0.001) | (edge > 0.999), 1e-16, wgt)
         wgt = jnp.maximum(wgt, 1e-16)
@@ -236,10 +239,13 @@ def _aggregation_view_buffers(
         alpha = jnp.where(f.front, wgt, 0.0)
         discard = (~f.front) & (padding > 0.001)
         new_frags.append(f._replace(valid=f.valid & ~discard))
-        payloads.append(jnp.concatenate([rgb, alpha[:, None]], axis=-1))
+        payloads.append(
+            jnp.concatenate([f.attrs[:, 0:2], alpha[:, None]], axis=-1)
+        )
 
-    payload, depth_win, _ = raster.resolve_zbuffer(new_frags, payloads, render_size)
-    return payload[..., :3], payload[..., 3], depth_win
+    payload, depth_win, covered = raster.resolve_zbuffer(new_frags, payloads, render_size)
+    rgb = _texture_nearest(color, payload[..., 0:2]) * covered[..., None]
+    return rgb, payload[..., 2], depth_win
 
 
 def render_aggregation(
