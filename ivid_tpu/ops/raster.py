@@ -178,30 +178,45 @@ def resolve_zbuffer_scatter(
     return out, depth_win, covered
 
 
-def _segmented_min_scan(values: jnp.ndarray, starts: jnp.ndarray) -> jnp.ndarray:
-    """Forward segmented running-min: within each run (delimited by ``starts``)
-    element i holds min(values[run_start..i]). Log-depth associative scan —
-    all vector ops, no scatter."""
+def _shifted(padded: jnp.ndarray, n: int, d: jnp.ndarray) -> jnp.ndarray:
+    """``x`` shifted down by traced ``d`` with the first ``d`` rows taken from
+    the (identity-element) pad half of ``padded = concat([pad, x])``."""
+    start = (n - d,) + (0,) * (padded.ndim - 1)
+    return jax.lax.dynamic_slice(padded, start, (n,) + padded.shape[1:])
 
-    def op(a, b):
-        va, fa = a
-        vb, fb = b
-        return jnp.where(fb, vb, jnp.minimum(va, vb)), fa | fb
 
-    out, _ = jax.lax.associative_scan(op, (values, starts))
+def _segmented_scan(values: jnp.ndarray, starts: jnp.ndarray, op, identity):
+    """Forward segmented inclusive scan by iterative doubling inside a
+    ``fori_loop`` — one O(N) level body compiled once and executed ⌈log2 N⌉
+    times (an unrolled ``associative_scan`` at N≈10⁶ takes the TPU compiler
+    minutes; this compiles in seconds). No scatters."""
+    n = values.shape[0]
+    levels = max(1, int(np.ceil(np.log2(n))))
+    pad_v = jnp.full((n,) + values.shape[1:], identity, values.dtype)
+    pad_f = jnp.ones((n,), bool)  # out-of-range acts as a segment boundary
+
+    def body(level, carry):
+        v, f = carry
+        d = 1 << level
+        v_sh = _shifted(jnp.concatenate([pad_v, v]), n, d)
+        f_sh = _shifted(jnp.concatenate([pad_f, f]), n, d)
+        fb = f if v.ndim == 1 else f[:, None]
+        v2 = jnp.where(fb, v, op(v_sh, v))
+        return v2, f | f_sh
+
+    out, _ = jax.lax.fori_loop(0, levels, body, (values, starts))
     return out
+
+
+def _segmented_min_scan(values: jnp.ndarray, starts: jnp.ndarray) -> jnp.ndarray:
+    """Within each run (delimited by ``starts``) element i holds
+    min(values[run_start..i])."""
+    return _segmented_scan(values, starts, jnp.minimum, jnp.inf)
 
 
 def _segmented_sum_scan(values: jnp.ndarray, starts: jnp.ndarray) -> jnp.ndarray:
     """Forward segmented running-sum along axis 0; ``values`` is [N, K]."""
-
-    def op(a, b):
-        va, fa = a
-        vb, fb = b
-        return jnp.where(fb[:, None], vb, va + vb), fa | fb
-
-    out, _ = jax.lax.associative_scan(op, (values, starts))
-    return out
+    return _segmented_scan(values, starts, jnp.add, 0.0)
 
 
 def resolve_zbuffer_sorted(

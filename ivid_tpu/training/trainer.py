@@ -73,6 +73,7 @@ class BasicTrainer:
         i_sample: int = 10000,
         i_save: int = 10000,
         i_ddpcheck: int = 10000,
+        sample_at_init: bool = True,
         model_parallel: int = 1,
         seed: int = 0,
         # Accepted for reference-config compatibility; no-ops on TPU (bf16).
@@ -94,6 +95,7 @@ class BasicTrainer:
         self.i_sample = i_sample
         self.i_save = i_save
         self.i_ddpcheck = i_ddpcheck
+        self.sample_at_init = sample_at_init
         self.seed = seed
 
         self.mesh = make_mesh(model=model_parallel)
@@ -306,7 +308,9 @@ class BasicTrainer:
     def run(self):
         log_file = open(os.path.join(self.output_dir, "log.txt"), "a")
         is_master = jax.process_index() == 0
-        if is_master and self.step == 0:
+        if is_master and self.step == 0 and self.sample_at_init:
+            # Initial sample grid (reference: basic.py:389-391); disable for
+            # smoke runs where a 250-step DDIM at init dwarfs the training.
             self.sample(suffix="init")
         log = []
         time_elapsed = 0.0

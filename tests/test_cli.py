@@ -1,0 +1,115 @@
+"""CLI smoke tests: run the actual entry points in subprocesses on CPU.
+
+These guard the wiring the unit tests can't see — argument parsing, config
+loading, registry dispatch, output layout (reference CLI surfaces:
+train.py, inference/sample.py, eval.py)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args, timeout=900):
+    env = dict(os.environ)
+    env["IVID_TPU_PLATFORM"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    ).strip()
+    return subprocess.run(
+        [sys.executable] + args, cwd=REPO, env=env,
+        capture_output=True, text=True, timeout=timeout,
+    )
+
+
+@pytest.fixture(scope="module")
+def tiny_configs(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cfg")
+    backbone = {
+        "image_size": 32, "in_channels": 4, "out_channels": 4,
+        "model_channels": 32, "num_res_blocks": 1,
+        "num_classes": None, "has_null_class": False,
+        "channel_mult": [1, 2], "attention_resolutions": [16],
+        "num_groups": 8, "num_heads": None, "num_head_channels": 16,
+        "dropout": 0.0, "use_fp16": False,
+    }
+    uncond = {
+        "backbone": {"name": "AdmUnet2d", "args": dict(backbone)},
+        "framework": {"name": "GaussianDiffusion",
+                      "args": {"timesteps": 100, "beta_schedule": "linear"}},
+        "dataset": {"name": "SyntheticRGBD",
+                    "args": {"image_size": 32, "length": 32, "normalize": True,
+                             "normalize_depth": True, "prepocess_depth": "z_buffer"}},
+        "trainer": {"name": "BasicTrainer",
+                    "args": {"max_steps": 2, "batch_size_per_gpu": 1,
+                             "i_log": 1, "i_sample": 10**9, "i_save": 10**9,
+                             "sample_at_init": False}},
+    }
+    cond = json.loads(json.dumps(uncond))
+    cond["backbone"]["args"]["in_channels"] = 10
+    cond["framework"] = {"name": "InpaintCFG",
+                         "args": {"timesteps": 100, "beta_schedule": "linear",
+                                  "p_uncond": 0.1, "p_uncond_img": 0}}
+    p_uncond = d / "uncond.json"
+    p_cond = d / "cond.json"
+    p_uncond.write_text(json.dumps(uncond))
+    p_cond.write_text(json.dumps(cond))
+    return str(p_uncond), str(p_cond)
+
+
+def test_sample_cli_uncond(tiny_configs, tmp_path):
+    uncond, _ = tiny_configs
+    r = _run([
+        "sample.py", "--config_uncond", uncond, "--ckpt_uncond", "random",
+        "--viewset", "uncond", "--seeds", "0-1", "--steps_uncond", "4",
+        "--output_dir", str(tmp_path),
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = tmp_path / "viewset_uncond_steps_u4_c50_guidance3.0"
+    assert (out / "results" / "rgb_seed00000.png").exists()
+    assert (out / "scenes" / "scene_seed00001.npz").exists()
+
+
+def test_train_cli(tiny_configs, tmp_path):
+    uncond, _ = tiny_configs
+    r = _run([
+        "train.py", "--config", uncond, "--output_dir", str(tmp_path),
+        "--data_dir", str(tmp_path), "--max_steps", "2",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    run_dir = tmp_path / "uncond"
+    assert (run_dir / "config.json").exists()
+    assert (run_dir / "model_summary.txt").exists()
+    log = (run_dir / "log.txt").read_text()
+    assert '"loss"' in log
+
+
+def test_eval_cli(tmp_path):
+    import imageio.v2 as imageio
+
+    rng = np.random.default_rng(0)
+    (tmp_path / "real").mkdir()
+    (tmp_path / "fake").mkdir()
+    for i in range(16):
+        imageio.imwrite(
+            tmp_path / "real" / f"r{i}.png",
+            (rng.uniform(size=(40, 50, 3)) * 255).astype(np.uint8),
+        )
+        imageio.imwrite(
+            tmp_path / "fake" / f"f{i}.png",
+            (rng.uniform(size=(32, 32, 3)) * 255).astype(np.uint8),
+        )
+    r = _run([
+        "eval.py", "--real_images_dir", str(tmp_path / "real"),
+        "--fake_images_dir", str(tmp_path / "fake"),
+        "--tmp_dir", str(tmp_path / "cache"), "--image_size", "32",
+        "--num_samples", "16", "--yes",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "frechet_inception_distance" in r.stdout
