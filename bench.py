@@ -133,6 +133,14 @@ def main():
     samples_per_sec = batch / t_per_batch
     results["samples_per_sec_chip"] = samples_per_sec
 
+    # Secondary: full 3x9 fusion viewset, composed from the measured pieces.
+    # Aggregation cost scales with live slots; power-of-two slot buckets give
+    # sum(bucket(j) for j in 1..26) = 441 slot-rasters per sample sequence.
+    t_agg1 = max(t_cond_view - 50 * t_step, 0.0)  # bucket-1 aggregation, per batch
+    t_ddim_cond = t_cond_view - t_agg1
+    t_3x9 = 1000 * t_step + 26 * t_ddim_cond + 441 * t_agg1
+    results["full_3x9_samples_per_sec_est"] = 27 * batch / t_3x9
+
     # A100 reference estimate (see module docstring).
     a100_peak, a100_mfu = 156e12, 0.30
     t_step_a100 = 2 * batch * flops_per_fwd / (a100_peak * a100_mfu)

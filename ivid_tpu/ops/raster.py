@@ -312,6 +312,10 @@ def resolve_zbuffer(
     persistent compilation cache makes that a one-time cost."""
     import os
 
+    if os.environ.get("IVID_TPU_PALLAS_RASTER") == "1":
+        from ivid_tpu.ops.raster_pallas import resolve_zbuffer_pallas
+
+        return resolve_zbuffer_pallas(fragments, payloads, render_size)
     if os.environ.get("IVID_TPU_SORTED_RASTER") == "1":
         return resolve_zbuffer_sorted(fragments, payloads, render_size)
     return resolve_zbuffer_scatter(fragments, payloads, render_size)
