@@ -128,18 +128,31 @@ def main():
     t_cond_view = time.time() - t0
     results["cond_view_s"] = t_cond_view
 
+    # Bucket-1 aggregation alone (for the 3x9 composition below).
+    def agg_args(eps):
+        return (
+            jax.tree.map(sl, state.meshes), sl(state.colors),
+            jnp.asarray(state.valid[:1]), mv0 + eps,
+        )
+
+    sync(pipe._agg_fn(*agg_args(0.0))["color"])  # compiled above; warm
+    t0 = time.time()
+    sync(pipe._agg_fn(*agg_args(1e-6))["color"])
+    t_agg1 = time.time() - t0
+    results["agg_slot_s"] = t_agg1
+
     # Protocol: 1000 uncond steps + 1 cond view per sample batch.
     t_per_batch = 1000 * t_step + t_cond_view
     samples_per_sec = batch / t_per_batch
     results["samples_per_sec_chip"] = samples_per_sec
 
-    # Secondary: full 3x9 fusion viewset, composed from the measured pieces.
-    # Aggregation cost scales with live slots; power-of-two slot buckets give
-    # sum(bucket(j) for j in 1..26) = 441 slot-rasters per sample sequence.
-    t_agg1 = max(t_cond_view - 50 * t_step, 0.0)  # bucket-1 aggregation, per batch
-    t_ddim_cond = t_cond_view - t_agg1
+    # Secondary: full 3x9 fusion viewset (one sample = a 27-view scene),
+    # composed from the measured pieces. Aggregation cost scales with live
+    # slots; power-of-two slot buckets give sum(bucket(j) for j in 1..26) = 441
+    # slot-rasters per sample sequence.
+    t_ddim_cond = max(t_cond_view - t_agg1, 0.0)
     t_3x9 = 1000 * t_step + 26 * t_ddim_cond + 441 * t_agg1
-    results["full_3x9_samples_per_sec_est"] = 27 * batch / t_3x9
+    results["full_3x9_scenes_per_sec_est"] = batch / t_3x9
 
     # A100 reference estimate (see module docstring).
     a100_peak, a100_mfu = 156e12, 0.30
