@@ -305,17 +305,41 @@ def resolve_zbuffer(
     payloads: Sequence[jnp.ndarray],
     render_size: int,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Default depth-test resolve. The scatter path is the production default:
-    the sort-based variant runs fast but its combined program currently takes
-    the TPU compiler tens of minutes (sort + log-depth segmented scans blow up
-    compile time); opt in with ``IVID_TPU_SORTED_RASTER=1`` where the
-    persistent compilation cache makes that a one-time cost."""
+    """Default depth-test resolve.
+
+    On TPU the tile-parallel Pallas kernel (:mod:`ivid_tpu.ops.raster_tiled`)
+    is the production path — measured 3.0 ms per 733k-fragment 384² raster on
+    v5e vs 25.7 ms for the XLA scatter resolve. On CPU (tests) the scatter
+    resolve is the default (Pallas runs interpreted there).
+
+    Override with ``IVID_TPU_RASTER`` ∈ {auto, tiled, scatter, sorted,
+    replay}; the legacy flags ``IVID_TPU_SORTED_RASTER=1`` /
+    ``IVID_TPU_PALLAS_RASTER=1`` still select the sorted / sequential-replay
+    variants.
+    """
     import os
 
-    if os.environ.get("IVID_TPU_PALLAS_RASTER") == "1":
+    import jax
+
+    choice = os.environ.get("IVID_TPU_RASTER", "auto")
+    if choice == "auto":
+        if os.environ.get("IVID_TPU_PALLAS_RASTER") == "1":
+            choice = "replay"
+        elif os.environ.get("IVID_TPU_SORTED_RASTER") == "1":
+            choice = "sorted"
+        else:
+            choice = "tiled" if jax.default_backend() == "tpu" else "scatter"
+    if choice == "tiled":
+        from ivid_tpu.ops.raster_tiled import resolve_zbuffer_tiled
+
+        return resolve_zbuffer_tiled(
+            fragments, payloads, render_size,
+            interpret=jax.default_backend() != "tpu",
+        )
+    if choice == "replay":
         from ivid_tpu.ops.raster_pallas import resolve_zbuffer_pallas
 
         return resolve_zbuffer_pallas(fragments, payloads, render_size)
-    if os.environ.get("IVID_TPU_SORTED_RASTER") == "1":
+    if choice == "sorted":
         return resolve_zbuffer_sorted(fragments, payloads, render_size)
     return resolve_zbuffer_scatter(fragments, payloads, render_size)
