@@ -79,6 +79,9 @@ def main():
     p.add_argument("--real_images_dir", type=str, default=None)
     p.add_argument("--fake_images_dir", type=str, default=None)
     p.add_argument("--tmp_dir", type=str, default="metrics/cache")
+    p.add_argument("--metrics_dir", type=str, default=None,
+                   help="where the <fake_cache_name>.txt result lands; "
+                        "defaults to the parent of --tmp_dir")
     p.add_argument("--image_size", type=int, default=128)
     p.add_argument("--num_samples", type=int, default=10000)
     p.add_argument("--real_images_cache_name", type=str, default=None)
@@ -123,8 +126,9 @@ def main():
 
     metrics = compute_metrics(fake, real, extractor=opt.extractor)
     print(metrics)
-    os.makedirs("metrics", exist_ok=True)
-    with open(os.path.join("metrics", f"{opt.fake_images_cache_name}.txt"), "w") as f:
+    metrics_dir = opt.metrics_dir or os.path.dirname(opt.tmp_dir.rstrip("/")) or "metrics"
+    os.makedirs(metrics_dir, exist_ok=True)
+    with open(os.path.join(metrics_dir, f"{opt.fake_images_cache_name}.txt"), "w") as f:
         f.write(str(metrics))
 
 

@@ -60,7 +60,18 @@ def load_params(path: str, template: Any = None, backbone_args: Optional[dict] =
 
 def finetune_load(path: str, template: Any, backbone_args: dict) -> Any:
     """Load a checkpoint whose first conv may have fewer input channels,
-    zero-padding the difference (reference: inpaint.py:68-94)."""
+    zero-padding the difference (reference: inpaint.py:68-94).
+
+    Compat note for imported reference *cond* checkpoints: the reference's
+    conditional TRAINING normalization applies ``y[..., :3] = y[..., :3]*2-1``
+    to a CHW tensor (reference: datasets/base.py:262-263), i.e. it rescales 3
+    width columns rather than the RGB channels — reference cond models were
+    trained with y-RGB in ~[0,1]. Reference *inference* normalizes fully
+    (reference: inference/sample.py:104-106), so running inference here on an
+    imported checkpoint matches the reference's own inference behavior; but
+    FINETUNING from a reference cond checkpoint with this repo's (correct)
+    trainer shifts the conditional input distribution — expect a brief
+    re-adaptation period."""
     from ivid_tpu.models.torch_compat import pad_input_channels
 
     target_in = template["in_conv"]["kernel"].shape[2]
