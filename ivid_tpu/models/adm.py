@@ -135,6 +135,23 @@ class ResBlock(nn.Module):
         return x + h
 
 
+def _use_flash_attention(seq: int, head_dim: int) -> bool:
+    """Flash attention pays off on TPU once the logits matrix outgrows VMEM
+    (seq ≥ 512); below that the fused einsum is faster. Sequence lengths here
+    are flattened feature maps (powers of two). Disable with
+    ``IVID_TPU_FLASH_ATTN=0``."""
+    import os
+
+    if os.environ.get("IVID_TPU_FLASH_ATTN", "1") != "1":
+        return False
+    return (
+        jax.default_backend() == "tpu"
+        and seq >= 512
+        and seq % 512 == 0
+        and head_dim in (64, 128, 256)
+    )
+
+
 class AttentionBlock(nn.Module):
     """Global spatial self-attention with fp32 softmax
     (reference: diffusion/backbones/adm.py:225-286)."""
@@ -165,9 +182,34 @@ class AttentionBlock(nn.Module):
         # Pre-scale q and k by 1/sqrt(sqrt(D)) — more stable than dividing the
         # logits afterwards in low precision (reference: adm.py:247-250).
         scale = 1.0 / np.sqrt(np.sqrt(head_dim))
-        logits = jnp.einsum("bthd,bshd->bhts", q * scale, k * scale)
-        weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(logits.dtype)
-        out = jnp.einsum("bhts,bshd->bthd", weights, v).reshape(b, h * w, c)
+        if _use_flash_attention(h * w, head_dim):
+            # Flash attention (Pallas): the XLA einsum path materializes the
+            # [B,H,T,T] f32 logits in HBM (memory-bound at ~700 GB/s; measured
+            # 2.8 ms vs 0.8 ms per seq-1024 block on v5e). Softmax statistics
+            # accumulate in f32 inside the kernel — same numerics contract as
+            # the fp32-softmax einsum within bf16 rounding.
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                BlockSizes, flash_attention,
+            )
+
+            s = h * w
+            bq, bk = min(512, s), min(1024, s)
+            bs = BlockSizes(
+                block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
+                block_q_major_dkv=bq, block_k_major_dkv=bk,
+                block_k_dkv=bk, block_q_dkv=bq,
+                block_k_major_dq=bk, block_k_dq=bk, block_q_dq=bq,
+            )
+            out = flash_attention(
+                (q * scale).transpose(0, 2, 1, 3),
+                (k * scale).transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3),
+                causal=False, sm_scale=1.0, block_sizes=bs,
+            ).transpose(0, 2, 1, 3).reshape(b, h * w, c)
+        else:
+            logits = jnp.einsum("bthd,bshd->bhts", q * scale, k * scale)
+            weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(logits.dtype)
+            out = jnp.einsum("bhts,bshd->bthd", weights, v).reshape(b, h * w, c)
         out = nn.Dense(
             c, dtype=self.dtype, param_dtype=jnp.float32,
             kernel_init=nn.initializers.zeros, name="proj",
@@ -306,7 +348,20 @@ def build_adm_unet(args: dict, dtype=jnp.bfloat16) -> AdmUnet2d:
     """Build an AdmUnet2d from a reference-schema backbone config dict
     (reference: configs/*.json, train.py:79-81). ``use_fp16`` selects bf16 compute;
     ``conv_resample``/``resblock_updown`` are accepted and ignored (the shipped
-    configs never override their defaults)."""
+    configs never override their defaults).
+
+    Precision policy for ``use_fp16: false`` configs (the flagship uncond
+    model, which the reference runs fp32 on GPU): on TPU, a float32 activation
+    stream buys no accuracy — XLA's default matmul precision computes f32
+    convs on the MXU in bf16 anyway — while doubling HBM traffic on every
+    norm/conv boundary (profiled: the 1×1-conv and attention fusions of the
+    DDIM hot loop run memory-bound at ~700 GB/s). So ``auto`` uses a bf16
+    torso with fp32 norms/softmax on TPU and exact f32 elsewhere (CPU parity
+    tests). Set ``IVID_TPU_PRECISION=f32`` to force the f32 stream on TPU,
+    ``bf16`` to force bf16 everywhere.
+    """
+    import os
+
     args = dict(args)
     use_low_precision = args.pop("use_fp16", False)
     args.pop("conv_resample", None)
@@ -315,6 +370,14 @@ def build_adm_unet(args: dict, dtype=jnp.bfloat16) -> AdmUnet2d:
         args["num_heads"] = 1
     if args.get("num_head_channels") is None:
         args["num_head_channels"] = -1
-    return AdmUnet2d(
-        **args, dtype=dtype if use_low_precision else jnp.float32
-    )
+    if not use_low_precision:
+        policy = os.environ.get("IVID_TPU_PRECISION", "auto")
+        if policy == "bf16":
+            dtype = jnp.bfloat16
+        elif policy == "f32":
+            dtype = jnp.float32
+        else:
+            dtype = (
+                jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+            )
+    return AdmUnet2d(**args, dtype=dtype)
