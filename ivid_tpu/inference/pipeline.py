@@ -58,6 +58,32 @@ def _slot_bucket(count: int, max_views: int) -> int:
     return min(b, max_views)
 
 
+def _camera_dirs(mvs: np.ndarray) -> np.ndarray:
+    """Unit camera-position directions from [..., 4, 4] modelviews (host).
+
+    ``pos = -R^T t`` (the camera center in world space); views orbit the
+    object at the origin, so the position direction is the view direction."""
+    rot = mvs[..., :3, :3]
+    t = mvs[..., :3, 3]
+    pos = -np.einsum("...ji,...j->...i", rot, t)
+    return pos / np.maximum(np.linalg.norm(pos, axis=-1, keepdims=True), 1e-12)
+
+
+def select_nearest_views(mvs: np.ndarray, j: int, k: int) -> np.ndarray:
+    """Indices [B, k] of the ``k`` prior views (slots 0..j-1) angularly nearest
+    to novel view ``j``, per sample.
+
+    Rationale: the aggregation weight falls off as ``exp(-20·acos(d·n))``
+    (reference: rgbd_3d/shaders/aggregation.fsh:28-35), so a view 30° away
+    contributes <3e-5 of a frontal view — aggregating every prior view (the
+    reference re-rasters all 27 VBO slots per novel view,
+    moderngl_renderer.py:281-315) buys nothing past the nearest few."""
+    dirs = _camera_dirs(mvs)  # [B, V, 3]
+    sims = np.sum(dirs[:, :j] * dirs[:, j : j + 1], axis=-1)  # [B, j]
+    order = np.argsort(-sims, axis=1, kind="stable")[:, :k]
+    return np.ascontiguousarray(order)
+
+
 class ScenePipeline:
     """Bundles the two frameworks and the jit-compiled per-view programs.
 
@@ -85,6 +111,7 @@ class ScenePipeline:
         ssaa: int = 3,
         agg_batch_mode: str = "map",
         data_parallel: bool = False,
+        max_agg_views: Optional[int] = None,
     ):
         self.fw_uncond = framework_uncond
         self.fw_cond = framework_cond
@@ -100,6 +127,9 @@ class ScenePipeline:
         self.steps_cond = steps_cond
         self.guidance = guidance
         self.ssaa = ssaa
+        # Cap the views aggregated per novel view to the K angularly nearest
+        # (see select_nearest_views). None = reference-exact: every prior view.
+        self.max_agg_views = max_agg_views
         assert agg_batch_mode in ("map", "vmap")
         # Multi-chip inference: shard the batch over the data mesh axis — the
         # TPU equivalent of the reference's per-GPU sampling processes
@@ -117,7 +147,10 @@ class ScenePipeline:
 
         self._uncond_fn = jax.jit(self._uncond_sample)
         self._mesh_fn = jax.jit(self._make_meshes)
-        self._cond_fns = {}  # bucket -> jitted cond step
+        # Aggregation re-jits per slot-bucket shape; the (expensive) guided
+        # DDIM program is shape-stable and compiles once.
+        self._agg_fn = jax.jit(self._agg_body)
+        self._ddim_fn = jax.jit(self._guided_ddim_body)
 
     # ---- jitted bodies ----
 
@@ -195,18 +228,10 @@ class ScenePipeline:
         )
         return out["samples"]
 
-    def _cond_step_body(self, params, rng, meshes, colors, valid, modelview, classes):
+    def _cond_step(self, params, rng, meshes, colors, valid, modelview, classes):
         agg = self._agg_fn(meshes, colors, valid, modelview)
         samples = self._ddim_fn(params, rng, agg, classes)
         return samples, agg
-
-    def _get_cond_fn(self, bucket: int):
-        del bucket  # jit specializes by input shapes; bucket slicing is external
-        if not self._cond_fns:
-            self._agg_fn = jax.jit(self._agg_body)
-            self._ddim_fn = jax.jit(self._guided_ddim_body)
-            self._cond_fns[0] = self._cond_step_body
-        return self._cond_fns[0]
 
     # ---- host-side drivers ----
 
@@ -281,15 +306,29 @@ class ScenePipeline:
         state = self.init_state(batch)
         state = self.add_view(state, 0, x0 * 0.5 + 0.5, mvs[:, 0])
 
+        mvs_host = np.asarray(jax.device_get(mvs))
+        cap = self.max_agg_views
         for j in range(1, n_views):
-            bucket = _slot_bucket(j, self.max_views)
-            fn = self._get_cond_fn(bucket)
-            sl = lambda x: x[:, :bucket]
             rng, rj = jax.random.split(rng)
-            xj, agg = fn(
+            if cap is not None and j > cap:
+                # Gather the K angularly-nearest prior slots per sample (the
+                # far ones carry exp(-20·angle) ≈ 0 aggregation weight).
+                idx = jnp.asarray(select_nearest_views(mvs_host, j, cap))
+                take = lambda x: jax.vmap(lambda a, i: a[i])(x, idx)
+                meshes_j = jax.tree.map(take, state.meshes)
+                colors_j = take(state.colors)
+                valid_j = jnp.ones((cap,), bool)
+                bucket = cap
+            else:
+                bucket = _slot_bucket(j, self.max_views)
+                sl = lambda x: x[:, :bucket]
+                meshes_j = jax.tree.map(sl, state.meshes)
+                colors_j = sl(state.colors)
+                valid_j = jnp.asarray(state.valid[:bucket])
+            del bucket  # jit specializes on the sliced shapes directly
+            xj, agg = self._cond_step(
                 params_cond, rj,
-                jax.tree.map(sl, state.meshes), sl(state.colors),
-                jnp.asarray(state.valid[:bucket]), mvs[:, j], classes,
+                meshes_j, colors_j, valid_j, mvs[:, j], classes,
             )
             samples.append(xj)
             conds["color"].append(agg["color"] * 2 - 1)

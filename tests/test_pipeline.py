@@ -124,3 +124,56 @@ def test_pipeline_data_parallel():
     assert samples.shape == (8, 2, 32, 32, 4)
     assert np.isfinite(np.asarray(samples)).all()
     assert pipe_dp.mesh.shape["data"] == 8
+
+
+def test_select_nearest_views():
+    from ivid_tpu.inference.pipeline import select_nearest_views
+    from ivid_tpu.ops import camera as cam
+
+    # Views at yaw angles 0, 0.1, 0.5, 0.9, and a novel view at 0.85:
+    # nearest two priors are slots 3 (0.9) and 2 (0.5).
+    yaws = [0.0, 0.1, 0.5, 0.9, 0.85]
+    mvs = np.stack([np.asarray(cam.orbit_modelview(y, 0.0)) for y in yaws])
+    idx = select_nearest_views(mvs[None], j=4, k=2)
+    assert idx.shape == (1, 2)
+    assert set(idx[0].tolist()) == {3, 2}
+    # per-sample selection with differing viewsets
+    mvs2 = np.stack([np.asarray(cam.orbit_modelview(y, 0.0)) for y in [0.9, 0.1, 0.5, 0.0, 0.05]])
+    idx2 = select_nearest_views(np.stack([mvs, mvs2]), j=4, k=2)
+    assert set(idx2[0].tolist()) == {3, 2}
+    assert set(idx2[1].tolist()) == {1, 4 - 1}  # slots 1 (0.1) and 3 (0.0)
+
+
+def test_pipeline_max_agg_views():
+    """Capping aggregation at K >= live views must be exactly the uncapped
+    run; a tighter cap still produces a full valid scene."""
+    pipe, pu, pc = _make_pipeline()
+    views = np.stack([np.asarray(v) for v in build_viewset("3x9", 1)[:4]])
+    rng = jax.random.PRNGKey(0)
+    noise = jax.random.normal(jax.random.PRNGKey(7), (2, 32, 32, 4))
+    _, samples_all, _ = pipe.sample_batch(
+        pu, pc, rng, views, batch=2, noise=noise
+    )
+
+    mu = pipe.fw_uncond
+    pipe_capped = ScenePipeline(
+        pipe.fw_uncond, pipe.fw_cond, image_size=32, max_views=4,
+        steps_uncond=5, steps_cond=4, guidance=0.0, max_agg_views=3,
+    )
+    _, samples_cap3, _ = pipe_capped.sample_batch(
+        pu, pc, rng, views, batch=2, noise=noise
+    )
+    # K=3 >= every live-prior count (j<=3) -> must match uncapped exactly.
+    np.testing.assert_allclose(
+        np.asarray(samples_all), np.asarray(samples_cap3), atol=1e-5
+    )
+
+    pipe_cap1 = ScenePipeline(
+        pipe.fw_uncond, pipe.fw_cond, image_size=32, max_views=4,
+        steps_uncond=5, steps_cond=4, guidance=0.0, max_agg_views=1,
+    )
+    _, samples_cap1, _ = pipe_cap1.sample_batch(
+        pu, pc, rng, views, batch=2, noise=noise
+    )
+    assert samples_cap1.shape == samples_all.shape
+    assert np.isfinite(np.asarray(samples_cap1)).all()
