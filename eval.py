@@ -124,7 +124,14 @@ def main():
 
     fake = load_fake_images(opt.fake_images_dir, opt.image_size, opt.num_samples)
 
-    metrics = compute_metrics(fake, real, extractor=opt.extractor)
+    # Real-set features are cached (reference: eval.py:11-23 caches the
+    # torch-fidelity stats); fake features are always fresh — the fake dir is
+    # regenerated between evals under the same name.
+    metrics = compute_metrics(
+        fake, real, extractor=opt.extractor,
+        cache_dir=opt.tmp_dir,
+        real_name=opt.real_images_cache_name if opt.use_real_images_cache else None,
+    )
     print(metrics)
     metrics_dir = opt.metrics_dir or os.path.dirname(opt.tmp_dir.rstrip("/")) or "metrics"
     os.makedirs(metrics_dir, exist_ok=True)

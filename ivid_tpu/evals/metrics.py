@@ -82,7 +82,9 @@ def inception_score(
     probs = np.exp(logits)
     probs /= probs.sum(axis=1, keepdims=True)
     scores = []
-    for chunk in np.array_split(probs, splits):
+    for chunk in np.array_split(probs, min(splits, len(probs))):
+        if len(chunk) == 0:
+            continue
         marginal = chunk.mean(axis=0, keepdims=True)
         kl = (chunk * (np.log(chunk + 1e-12) - np.log(marginal + 1e-12))).sum(axis=1)
         scores.append(np.exp(kl.mean()))
@@ -153,13 +155,32 @@ def get_extractor(name: str, image_size: int = 128):
     if name == "randconv":
         return RandConvFeatures(image_size=image_size)
     if name.startswith("inception:"):
-        raise NotImplementedError(
-            "Local InceptionV3 weight loading requires a weights file; place "
-            "the torch-fidelity pt-inception weights locally and extend "
-            "ivid_tpu/evals/metrics.py:get_extractor. No pretrained weights "
-            "ship in this zero-egress environment."
-        )
+        from ivid_tpu.evals.inception import InceptionFeatures
+
+        return InceptionFeatures(name.split(":", 1)[1])
     raise ValueError(f"unknown extractor {name!r}")
+
+
+def extract_features(
+    images: np.ndarray, ext, cache_path: Optional[str] = None
+):
+    """Run (or load cached) features+logits for an image set. The feature
+    cache mirrors the reference's torch-fidelity stat caching
+    (reference: eval.py:11-23) — real-set features are reused across evals."""
+    import os
+
+    if cache_path and os.path.exists(cache_path):
+        z = np.load(cache_path)
+        return z["feats"], z["logits"]
+    feats, logits = ext(images)
+    if cache_path:
+        os.makedirs(os.path.dirname(cache_path) or ".", exist_ok=True)
+        np.savez_compressed(cache_path, feats=feats, logits=logits)
+    return feats, logits
+
+
+def _safe_tag(extractor: str) -> str:
+    return extractor.replace("/", "_").replace(":", "-")
 
 
 def compute_metrics(
@@ -169,12 +190,24 @@ def compute_metrics(
     isc: bool = True,
     fid: bool = True,
     kid: bool = True,
+    cache_dir: Optional[str] = None,
+    fake_name: Optional[str] = None,
+    real_name: Optional[str] = None,
 ) -> Dict[str, float]:
     """Images are [N,H,W,3] float in [0,1]. Returns a torch-fidelity-shaped
-    metrics dict with the extractor recorded."""
+    metrics dict with the extractor recorded. With ``cache_dir`` + names set,
+    extracted features are cached as ``<cache_dir>/<name>-feats-<ext>.npz``."""
+    import os
+
     ext = get_extractor(extractor, image_size=fake_images.shape[1])
-    f_fake, l_fake = ext(fake_images)
-    f_real, _ = ext(real_images)
+
+    def cpath(name):
+        if cache_dir is None or name is None:
+            return None
+        return os.path.join(cache_dir, f"{name}-feats-{_safe_tag(extractor)}.npz")
+
+    f_fake, l_fake = extract_features(fake_images, ext, cpath(fake_name))
+    f_real, _ = extract_features(real_images, ext, cpath(real_name))
     out: Dict[str, float] = {"feature_extractor": extractor}
     if fid:
         out["frechet_inception_distance"] = frechet_distance(
