@@ -1,15 +1,24 @@
-"""Threaded prefetching data loader with per-process sharding.
+"""Prefetching data loader with worker threads and per-process sharding.
 
 Replaces torch DataLoader + DistributedSampler (reference:
 diffusion/trainers/basic.py:140-154): epoch-shuffled, rank-strided index
-sharding, drop-last batching, worker-thread prefetch, infinite cycling
-(reference: trainers/utils.py:7-9)."""
+sharding, drop-last batching, ``num_workers``-thread parallel item loading
+with ordered batch prefetch, infinite cycling (reference:
+trainers/utils.py:7-9).
+
+Resumable: the iterator tracks ``position`` — the (epoch, batch) cursor of the
+NEXT batch to be yielded — and a fresh loader constructed with
+``start=position`` reproduces the exact remaining batch sequence (the
+per-epoch shuffle is a pure function of ``seed + epoch``). The trainer
+persists this cursor in its misc checkpoint (the reference restarts its
+dataloader from scratch on resume and silently replays data,
+basic.py:196-228; exact-resume is a deliberate improvement)."""
 
 from __future__ import annotations
 
-import queue
-import threading
-from typing import Dict, Iterator
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, Tuple
 
 import numpy as np
 
@@ -26,6 +35,7 @@ class DataLoader:
         shard_index: int = 0,
         num_shards: int = 1,
         prefetch: int = 4,
+        start: Tuple[int, int] = (0, 0),
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -34,7 +44,10 @@ class DataLoader:
         self.seed = seed
         self.shard_index = shard_index
         self.num_shards = num_shards
-        self.prefetch = prefetch
+        self.prefetch = max(1, prefetch)
+        #: (epoch, batch) cursor of the next batch to be yielded; updated as
+        #: batches are CONSUMED (not prefetched), so it is always safe to save.
+        self.position = tuple(start)
 
     def _epoch_indices(self, epoch: int) -> np.ndarray:
         n = len(self.dataset)
@@ -49,29 +62,41 @@ class DataLoader:
         keys = items[0].keys()
         return {k: np.stack([it[k] for it in items], axis=0) for k in keys}
 
+    def _cursors(self, start: Tuple[int, int]):
+        """Infinite (next_position, item_indices) stream from ``start``."""
+        epoch, batch0 = start
+        while True:
+            batches = self._epoch_indices(epoch)
+            for b in range(batch0, len(batches)):
+                nxt = (epoch, b + 1) if b + 1 < len(batches) else (epoch + 1, 0)
+                yield nxt, batches[b]
+            epoch, batch0 = epoch + 1, 0
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         """Infinite iterator (the trainer counts steps, not epochs)."""
-        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
-        stop = threading.Event()
+        pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        cursors = self._cursors(self.position)
+        # Pipeline: keep `prefetch` batches of per-item futures in flight; the
+        # pool's num_workers threads drain them in parallel, order preserved
+        # by the deque.
+        pending: deque = deque()
 
-        def producer():
-            epoch = 0
-            while not stop.is_set():
-                for batch_idx in self._epoch_indices(epoch):
-                    items = [self.dataset[int(i)] for i in batch_idx]
-                    q.put(self._collate(items))
-                    if stop.is_set():
-                        return
-                epoch += 1
+        def submit_next():
+            nxt, batch_idx = next(cursors)
+            futs = [pool.submit(self.dataset.__getitem__, int(i)) for i in batch_idx]
+            pending.append((nxt, futs))
 
-        threads = [
-            threading.Thread(target=producer, daemon=True)
-            for _ in range(1)  # ordered single producer; workers parallelize inside
-        ]
-        for t in threads:
-            t.start()
         try:
+            for _ in range(self.prefetch):
+                submit_next()
             while True:
-                yield q.get()
+                nxt, futs = pending.popleft()
+                batch = self._collate([f.result() for f in futs])
+                submit_next()
+                self.position = nxt
+                yield batch
         finally:
-            stop.set()
+            for _, futs in pending:
+                for f in futs:
+                    f.cancel()
+            pool.shutdown(wait=False)

@@ -149,17 +149,17 @@ class BasicTrainer:
         ]
         self.rng = jax.random.PRNGKey(self.seed + 1)
 
-    def _build_loader(self):
-        self.loader = iter(
-            DataLoader(
-                self.dataset,
-                batch_size=self.batch_size,
-                num_workers=4,
-                seed=self.seed,
-                shard_index=jax.process_index(),
-                num_shards=jax.process_count(),
-            )
+    def _build_loader(self, start=(0, 0)):
+        self._loader_obj = DataLoader(
+            self.dataset,
+            batch_size=self.batch_size,
+            num_workers=4,
+            seed=self.seed,
+            shard_index=jax.process_index(),
+            num_shards=jax.process_count(),
+            start=tuple(int(x) for x in start),
         )
+        self.loader = iter(self._loader_obj)
 
     def prepare_batch(self, batch: dict, rng: jax.Array) -> dict:
         """Hook: trainers transform the raw host batch on device (e.g. warp)."""
@@ -229,9 +229,16 @@ class BasicTrainer:
             ckpt_io.save_params(
                 ckpt_io.ema_path(self.output_dir, rate, self.step), ema
             )
+        # Besides optimizer state + step (reference: basic.py:244-252 persists
+        # opt state, step and the fp16 log_scale), persist the PRNG state and
+        # the loader cursor so a killed-and-resumed run reproduces the exact
+        # loss sequence of an uninterrupted one (tested).
         misc = {
             "opt_state": jax.device_get(self.opt_state),
             "step": self.step,
+            "rng": jax.device_get(self.rng),
+            "loader_pos": np.asarray(self._loader_obj.position, np.int64),
+            "ema_rates": np.asarray(self.ema_rate, np.float64),
         }
         with open(ckpt_io.misc_path(self.output_dir, self.step), "wb") as f:
             f.write(serialization.to_bytes(misc))
@@ -247,11 +254,31 @@ class BasicTrainer:
                 jax.device_get(self.ema_params[i]),
             )
             self.ema_params[i] = jax.device_put(ema, replicated(self.mesh))
-        template = {"opt_state": jax.device_get(self.opt_state), "step": 0}
+        template = {
+            "opt_state": jax.device_get(self.opt_state),
+            "step": 0,
+            "rng": jax.device_get(self.rng),
+            "loader_pos": np.zeros((2,), np.int64),
+            "ema_rates": np.asarray(self.ema_rate, np.float64),
+        }
         with open(ckpt_io.misc_path(load_dir, step), "rb") as f:
-            misc = serialization.from_bytes(template, f.read())
+            raw = f.read()
+        try:
+            misc = serialization.from_bytes(template, raw)
+        except (KeyError, ValueError):
+            # Older misc checkpoints carry only opt_state + step.
+            misc = serialization.from_bytes(
+                {"opt_state": template["opt_state"], "step": 0}, raw
+            )
         self.opt_state = jax.device_put(misc["opt_state"], replicated(self.mesh))
         self.step = int(misc["step"])
+        if "rng" in misc:
+            self.rng = jnp.asarray(misc["rng"])
+            saved_rates = [float(r) for r in np.asarray(misc["ema_rates"])]
+            assert saved_rates == [float(r) for r in self.ema_rate], (
+                f"checkpoint EMA rates {saved_rates} != trainer {self.ema_rate}"
+            )
+            self._build_loader(start=misc["loader_pos"])
         check_replication(self.params)
 
     # ---- periodic eval sampling (reference: basic.py:254-282) ----

@@ -77,3 +77,64 @@ def test_native_resampler_matches_pil():
         # boundary rows/cols. The production loader uses PIL for depth.
         mismatch = (gotd != refd).mean()
         assert mismatch < 0.4, mismatch
+
+
+def test_loader_resume_cursor():
+    """A loader restarted from a saved position reproduces the exact
+    remaining batch sequence (exact-resume support; the reference replays
+    data on restart, basic.py:196-228)."""
+    from ivid_tpu.data.loader import DataLoader
+    from ivid_tpu.data import SyntheticRGBD
+
+    ds = SyntheticRGBD(image_size=8, length=20, normalize=True,
+                       normalize_depth=True, prepocess_depth="z_buffer")
+    ld = DataLoader(ds, batch_size=4, seed=3, num_workers=3, prefetch=2)
+    it = iter(ld)
+    seq = []
+    for _ in range(9):  # crosses an epoch boundary (5 batches/epoch)
+        seq.append(next(it)["x_0"])
+    pos = ld.position
+    tail = [next(it)["x_0"] for _ in range(4)]
+
+    ld2 = DataLoader(ds, batch_size=4, seed=3, num_workers=1, prefetch=1,
+                     start=pos)
+    it2 = iter(ld2)
+    tail2 = [next(it2)["x_0"] for _ in range(4)]
+    for a, b in zip(tail, tail2):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_loader_workers_parallel_and_ordered():
+    """num_workers loads run concurrently; batch order is still deterministic."""
+    import threading
+    import time as _time
+
+    from ivid_tpu.data.loader import DataLoader
+
+    lock = threading.Lock()
+    active = [0]
+    peak = [0]
+
+    class SlowDataset:
+        image_size = 4
+
+        def __len__(self):
+            return 32
+
+        def __getitem__(self, i):
+            with lock:
+                active[0] += 1
+                peak[0] = max(peak[0], active[0])
+            _time.sleep(0.05)
+            with lock:
+                active[0] -= 1
+            return {"x_0": np.full((4, 4, 4), i, np.float32)}
+
+    ld = DataLoader(SlowDataset(), batch_size=4, shuffle=False, num_workers=4,
+                    prefetch=2, seed=0)
+    it = iter(ld)
+    b0 = next(it)["x_0"][:, 0, 0, 0]
+    b1 = next(it)["x_0"][:, 0, 0, 0]
+    np.testing.assert_array_equal(b0, [0, 1, 2, 3])
+    np.testing.assert_array_equal(b1, [4, 5, 6, 7])
+    assert peak[0] >= 3, f"expected concurrent item loads, peak={peak[0]}"
