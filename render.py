@@ -31,6 +31,24 @@ def parse_args():
     return p.parse_args()
 
 
+def save_video(path_stem: str, frames, fps: int = 30) -> str:
+    """Write mp4 when an ffmpeg backend exists (reference:
+    inference/render.py:74-88 writes mp4), else fall back to GIF — this image
+    ships no ffmpeg binary or imageio-ffmpeg wheel."""
+    import imageio.v2 as imageio
+
+    try:
+        import imageio_ffmpeg  # noqa: F401 — presence check only
+
+        out = path_stem + ".mp4"
+        imageio.mimsave(out, frames, fps=fps)
+        return out
+    except ImportError:
+        out = path_stem + ".gif"
+        imageio.mimsave(out, frames, duration=1 / fps, loop=0)
+        return out
+
+
 def main():
     opt = parse_args()
     import imageio.v2 as imageio
@@ -102,13 +120,11 @@ def main():
                     geom.project_depth(depth, near, far)
                 )[..., 0]
                 frames_d.append(to8b(colorize_depth(d, vmin=0, vmax=1)))
-            imageio.mimsave(
-                os.path.join(opt.output_dir, "videos", f"{name}.gif"),
-                frames_c, duration=1 / 30, loop=0,
+            save_video(
+                os.path.join(opt.output_dir, "videos", name), frames_c
             )
-            imageio.mimsave(
-                os.path.join(opt.output_dir, "videos", f"{name}_depth.gif"),
-                frames_d, duration=1 / 30, loop=0,
+            save_video(
+                os.path.join(opt.output_dir, "videos", f"{name}_depth"), frames_d
             )
             if opt.save_frames:
                 fdir = os.path.join(opt.output_dir, "videos", name)

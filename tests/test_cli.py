@@ -113,3 +113,34 @@ def test_eval_cli(tmp_path):
     ])
     assert r.returncode == 0, r.stderr[-2000:]
     assert "frechet_inception_distance" in r.stdout
+
+
+def test_render_cli(tmp_path):
+    """render.py end-to-end: save a 1-view scene, render a 2-frame swing."""
+    import jax.numpy as jnp
+
+    from ivid_tpu.inference.scene_io import save_scene
+    from ivid_tpu.ops import camera as cam
+    from ivid_tpu.ops import geometry as geom
+
+    s = 32
+    rng = np.random.default_rng(0)
+    rgbd = np.clip(rng.uniform(0.2, 0.8, size=(s, s, 4)), 0, 1).astype(np.float32)
+    mv = cam.look_at(
+        jnp.array([0.0, 0.0, 1.0]), jnp.zeros(3), jnp.array([0.0, 1.0, 0.0])
+    )
+    mesh = geom.depth_to_mesh(
+        geom.linearize_depth(jnp.asarray(rgbd[..., 3:]), 0.6, 5.0),
+        padding="frustum", fov=45.0, modelview=mv,
+        atol=0.03, rtol=0.03, erode_rgb=3, cal_normal=True,
+    )
+    (tmp_path / "scenes").mkdir()
+    save_scene(str(tmp_path / "scenes" / "000000.npz"), [mesh], [rgbd[..., :3]])
+
+    r = _run([
+        "render.py", "--scene_dir", str(tmp_path), "--traj", "swing",
+        "--frames", "2", "--ssaa", "2",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    vids = list((tmp_path / "videos").iterdir())
+    assert any(v.suffix in (".gif", ".mp4") for v in vids), vids
