@@ -105,6 +105,14 @@ def main():
         )["samples"]
     )
     sync(ddim_u(params_u, jax.random.PRNGKey(0)))  # compile
+    import os
+
+    profile_dir = os.environ.get("IVID_TPU_BENCH_PROFILE")
+    if profile_dir:
+        # Device trace of the hot loop; the trace json carries hlo_category /
+        # model_flops / bytes_accessed per op for roofline analysis.
+        with jax.profiler.trace(profile_dir):
+            sync(ddim_u(params_u, jax.random.PRNGKey(99)))
     best = 1e9
     for i in range(3):
         t0 = time.perf_counter()
