@@ -275,3 +275,19 @@ def test_tiled_resolve_via_renderer(monkeypatch):
             np.asarray(res_scatter[k], np.float32),
             np.asarray(res_tiled[k], np.float32), atol=1e-5,
         )
+
+
+def test_interior_lattice_covers_ssaa():
+    """The fragment sample lattice must be at least as dense as the SSAA
+    factor: a flat full-frame mesh rendered at k x SSAA with
+    interior_level=k+1 covers every interior pixel (a GL rasterizer covers
+    analytically; the sample-based raster needs <=1px sample spacing)."""
+    mesh = geom.depth_to_mesh(jnp.full((32, 32, 1), 2.0), fov=90.0)
+    white = jnp.ones((2, 2, 3))
+    for ssaa in (3, 5):
+        res = rend.render_simple(
+            mesh, white, jnp.eye(4), fov=90.0, render_size=32 * ssaa,
+            interior_level=ssaa + 1, has_skirt=False,
+        )
+        m = np.asarray(res["mask"])[8:-8, 8:-8]
+        assert m.mean() == 1.0, f"holes at ssaa={ssaa}: {m.mean():.3f}"
