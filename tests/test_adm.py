@@ -199,3 +199,37 @@ def test_param_count_matches_reference():
     model, params = _init(cfg)
     n_flax = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
     assert n_flax == n_torch
+
+
+def test_split_skip_matches_concat(monkeypatch):
+    """The decoder's split-skip path (no materialized concatenation) must
+    match the concat path numerically with an identical parameter tree."""
+    cfg = dict(
+        image_size=32, in_channels=4, out_channels=4, model_channels=32,
+        num_res_blocks=1, channel_mult=[1, 2], attention_resolutions=[16],
+        num_groups=8, num_heads=None, num_head_channels=16,
+        num_classes=None, has_null_class=False, dropout=0.0, use_fp16=False,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 4))
+    t = jnp.array([10, 500], jnp.int32)
+
+    monkeypatch.setenv("IVID_TPU_SPLIT_SKIP", "0")
+    model = build_adm_unet(cfg)
+    params = model.init(jax.random.PRNGKey(0), x, t)["params"]
+    # Randomize zero-init kernels so skip/out conv outputs are non-trivial.
+    leaves, treedef = jax.tree.flatten(params)
+    leaves = [
+        0.05 * jax.random.normal(jax.random.fold_in(jax.random.PRNGKey(9), i),
+                                 l.shape, l.dtype)
+        if (np.abs(np.asarray(l)).sum() == 0 and l.ndim >= 2) else l
+        for i, l in enumerate(leaves)
+    ]
+    params = jax.tree.unflatten(treedef, leaves)
+    out_concat = np.asarray(model.apply({"params": params}, x, t))
+
+    monkeypatch.setenv("IVID_TPU_SPLIT_SKIP", "1")
+    model2 = build_adm_unet(cfg)
+    shapes = jax.eval_shape(lambda: model2.init(jax.random.PRNGKey(0), x, t)["params"])
+    assert jax.tree.structure(shapes) == jax.tree.structure(params)
+    out_split = np.asarray(model2.apply({"params": params}, x, t))
+    np.testing.assert_allclose(out_concat, out_split, atol=2e-5)
