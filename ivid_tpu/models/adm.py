@@ -173,10 +173,15 @@ def upsample_nearest_2x(x: jax.Array) -> jax.Array:
 
 
 def downsample_avg_2x(x: jax.Array) -> jax.Array:
-    """2x2 average-pool downsample in NHWC (reference: adm.py:95-117)."""
-    b, h, w, c = x.shape
-    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
-    return x.mean(axis=(2, 4))
+    """2x2 average-pool downsample in NHWC (reference: adm.py:95-117).
+
+    ``reduce_window`` rather than reshape-mean: the strided 6-D reshape forces
+    an awkward layout on TPU (measured 4.0 ms vs 2.2 ms at [32,128,128,256])."""
+    s = jax.lax.reduce_window(
+        x.astype(jnp.float32), 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1),
+        "VALID",
+    )
+    return (s * 0.25).astype(x.dtype)
 
 
 class ResBlock(nn.Module):
@@ -341,7 +346,10 @@ class AttentionBlock(nn.Module):
 
         # Pre-scale q and k by 1/sqrt(sqrt(D)) — more stable than dividing the
         # logits afterwards in low precision (reference: adm.py:247-250).
-        scale = 1.0 / np.sqrt(np.sqrt(head_dim))
+        # Python float (weakly typed): an np scalar would promote bf16 q/k to
+        # f32 and drag the whole attention into f32 (profiled: +1ms/block in
+        # relayout fusions around the flash kernel).
+        scale = float(1.0 / np.sqrt(np.sqrt(head_dim)))
         if _use_flash_attention(h * w, head_dim):
             # Flash attention (Pallas): the XLA einsum path materializes the
             # [B,H,T,T] f32 logits in HBM (memory-bound at ~700 GB/s; measured
