@@ -334,21 +334,32 @@ def _use_split_skip() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _use_flash_attention(seq: int, head_dim: int) -> bool:
-    """Flash attention pays off on TPU once the logits matrix outgrows VMEM
-    (seq ≥ 512); below that the fused einsum is faster. Sequence lengths here
-    are flattened feature maps (powers of two). Disable with
-    ``IVID_TPU_FLASH_ATTN=0``."""
+def _attention_impl(seq: int, heads: int, head_dim: int) -> str:
+    """Pick the attention implementation for a TPU backend.
+
+    - ``packed`` (default where supported): the Pallas kernel that reads
+      q/k/v straight out of the fused [B,T,3C] projection and writes
+      token-major output — zero layout copies (ops/attention.py).
+    - ``flash``: the stock pallas flash kernel on unpacked [B,H,T,D] tensors
+      (profiled: +835 us of relayout per seq-1024 block at batch 32).
+    - ``einsum``: materialized-logits path — fastest below seq 512, and the
+      only path off-TPU (CPU parity tests).
+    Override with ``IVID_TPU_ATTN=packed|flash|einsum``."""
     import os
 
+    from ivid_tpu.ops import attention as attn_ops
+
+    impl = os.environ.get("IVID_TPU_ATTN", "auto")
+    if impl in ("packed", "flash", "einsum"):
+        return impl
+    # Back-compat escape hatch from round 2's A/B testing.
     if os.environ.get("IVID_TPU_FLASH_ATTN", "1") != "1":
-        return False
-    return (
-        jax.default_backend() == "tpu"
-        and seq >= 512
-        and seq % 512 == 0
-        and head_dim in (64, 128, 256)
-    )
+        return "einsum"
+    if jax.default_backend() != "tpu" or seq < 512 or seq % 512:
+        return "einsum"
+    if attn_ops.supports_packed(seq, heads, head_dim):
+        return "packed"
+    return "flash" if head_dim in (64, 128, 256) else "einsum"
 
 
 class AttentionBlock(nn.Module):
@@ -375,46 +386,26 @@ class AttentionBlock(nn.Module):
         tokens = x.reshape(b, h * w, c)
         normed = GroupNorm32(self.num_groups, name="norm")(tokens)
         qkv = nn.Dense(3 * c, dtype=self.dtype, param_dtype=jnp.float32, name="qkv")(normed)
-        qkv = qkv.reshape(b, h * w, heads, 3 * head_dim)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
 
-        # Pre-scale q and k by 1/sqrt(sqrt(D)) — more stable than dividing the
-        # logits afterwards in low precision (reference: adm.py:247-250).
-        # Python float (weakly typed): an np scalar would promote bf16 q/k to
-        # f32 and drag the whole attention into f32 (profiled: +1ms/block in
-        # relayout fusions around the flash kernel).
+        # Scale factor 1/sqrt(sqrt(D)), applied to both q and k (reference:
+        # adm.py:247-250). Python float (weakly typed): an np scalar would
+        # promote bf16 q/k to f32 and drag the whole attention into f32.
         scale = float(1.0 / np.sqrt(np.sqrt(head_dim)))
-        if _use_flash_attention(h * w, head_dim):
-            # Flash attention (Pallas): the XLA einsum path materializes the
-            # [B,H,T,T] f32 logits in HBM (memory-bound at ~700 GB/s; measured
-            # 2.8 ms vs 0.8 ms per seq-1024 block on v5e). Softmax statistics
-            # accumulate in f32 inside the kernel — same numerics contract as
-            # the fp32-softmax einsum within bf16 rounding.
-            from jax.experimental.pallas.ops.tpu.flash_attention import (
-                BlockSizes, flash_attention,
-            )
+        impl = _attention_impl(h * w, heads, head_dim)
+        if impl == "packed":
+            # Fused kernel straight over the packed [B,T,3C] projection —
+            # no head transposes, no q/k/v slicing (ops/attention.py).
+            from ivid_tpu.ops.attention import packed_attention
 
-            import os
+            out = packed_attention(qkv, heads, scale)
+        elif impl == "flash":
+            from ivid_tpu.ops.attention import unpacked_flash_attention
 
-            s = h * w
-            bq = min(int(os.environ.get("IVID_TPU_FLASH_BQ", "512")), s)
-            bk = min(int(os.environ.get("IVID_TPU_FLASH_BK", "1024")), s)
-            bs = BlockSizes(
-                block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
-                block_q_major_dkv=bq, block_k_major_dkv=bk,
-                block_k_dkv=bk, block_q_dkv=bq,
-                block_k_major_dq=bk, block_k_dq=bk, block_q_dq=bq,
-            )
-            out = flash_attention(
-                (q * scale).transpose(0, 2, 1, 3),
-                (k * scale).transpose(0, 2, 1, 3),
-                v.transpose(0, 2, 1, 3),
-                causal=False, sm_scale=1.0, block_sizes=bs,
-            ).transpose(0, 2, 1, 3).reshape(b, h * w, c)
+            out = unpacked_flash_attention(qkv, heads, scale)
         else:
-            logits = jnp.einsum("bthd,bshd->bhts", q * scale, k * scale)
-            weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(logits.dtype)
-            out = jnp.einsum("bhts,bshd->bthd", weights, v).reshape(b, h * w, c)
+            from ivid_tpu.ops.attention import reference_attention
+
+            out = reference_attention(qkv, heads, scale)
         out = nn.Dense(
             c, dtype=self.dtype, param_dtype=jnp.float32,
             kernel_init=nn.initializers.zeros, name="proj",

@@ -1,0 +1,169 @@
+"""Packed-qkv multi-head attention as a Pallas TPU kernel.
+
+The UNet's attention blocks (reference: diffusion/backbones/adm.py:225-286)
+project tokens to one fused qkv tensor ``[B, T, 3C]`` whose columns are
+head-major ``[h][q|k|v][D]`` groups (the reference's Conv1d channel order,
+adm.py:267-271). The stock path unpacks it into three ``[B, H, T, D]``
+tensors for ``jax.experimental.pallas...flash_attention`` — on a v5e that
+unpacking costs more than the attention math itself: per seq-1024 block at
+batch 32, profiled 835 us of layout copies (qkv relayout 135 us + head
+transpose 198 us + slice/scale/transpose fusion 502 us) around a 942 us
+kernel, ~4.2 ms/step across the flagship's five flash blocks.
+
+This kernel reads q/k/v directly out of the packed projection and writes the
+attention output back in token-major ``[B, T, C]`` layout, so the surrounding
+Dense layers connect with ZERO layout copies:
+
+- grid ``(B, H//2, T//BQ)``: each program owns one sample x one head PAIR.
+  A head pair spans a 384-column stripe of the packed tensor (2 heads x
+  [q|k|v] x 64), which is 128-lane aligned — single heads (192 columns)
+  would misalign every other DMA.
+- the whole ``[T, 384]`` stripe is one VMEM block, re-used across the
+  q-block grid dimension (innermost), so k/v stream from HBM once per pair.
+- k spans the full sequence per program, so the softmax is exact row softmax
+  in f32 — no online-rescaling passes (T <= 4096 fits VMEM comfortably).
+- numerics contract of the reference: logits scaled by ``1/sqrt(D)``
+  (applied as scale^2 on the f32 logits; the stock path pre-scales q and k
+  by 1/sqrt(sqrt(D)) in bf16 — equal within bf16 rounding), f32 softmax,
+  bf16 probability matmul.
+
+Only the forward runs through the kernel; the backward (training) falls back
+to the unpacked flash-attention VJP via ``jax.vjp``, which is memory-safe at
+every training shape.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+HEAD_DIM = 64  # the only head width the reference configs use (adm.py configs)
+_GROUP = 3 * HEAD_DIM  # q|k|v stripe of one head
+_PAIR = 2 * _GROUP  # 384: lane-aligned head-pair stripe
+
+
+def _block_q(seq: int) -> int:
+    """Largest q-block that keeps the f32 logits panel [BQ, T] in VMEM."""
+    if seq <= 1024:
+        return min(512, seq)
+    if seq <= 2048:
+        return 256
+    return 128
+
+
+def supports_packed(seq: int, heads: int, head_dim: int) -> bool:
+    return (
+        head_dim == HEAD_DIM
+        and heads % 2 == 0
+        and seq >= 512
+        and seq % _block_q(seq) == 0
+        and seq <= 4096
+    )
+
+
+def _attn_kernel(qkv_ref, out_ref, *, block_q: int, scale2: float):
+    tq = pl.program_id(2)
+    for h in range(2):
+        off = h * _GROUP
+        q = qkv_ref[0, pl.ds(tq * block_q, block_q), off : off + HEAD_DIM]
+        k = qkv_ref[0, :, off + HEAD_DIM : off + 2 * HEAD_DIM]
+        v = qkv_ref[0, :, off + 2 * HEAD_DIM : off + 3 * HEAD_DIM]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s = s * scale2
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        w = e / jnp.sum(e, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            w.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out_ref[0, :, h * HEAD_DIM : (h + 1) * HEAD_DIM] = o.astype(out_ref.dtype)
+
+
+def _packed_attention_fwd_kernel(
+    qkv: jax.Array, heads: int, scale: float, interpret: bool = False
+) -> jax.Array:
+    b, t, c3 = qkv.shape
+    c = c3 // 3
+    assert c == heads * HEAD_DIM and heads % 2 == 0
+    pairs = heads // 2
+    bq = _block_q(t)
+    kernel = functools.partial(
+        _attn_kernel, block_q=bq, scale2=float(scale) * float(scale)
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, t, c), qkv.dtype),
+        grid=(b, pairs, t // bq),
+        in_specs=[
+            pl.BlockSpec((1, t, _PAIR), lambda b_, p, tq: (b_, 0, p)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, 2 * HEAD_DIM), lambda b_, p, tq: (b_, tq, p)),
+        interpret=interpret,
+    )(qkv)
+
+
+def unpacked_flash_attention(qkv: jax.Array, heads: int, scale: float) -> jax.Array:
+    """The stock path: unpack to [B,H,T,D] and call the pallas flash kernel.
+
+    Kept as the backward implementation (flash's VJP is memory-safe at
+    training shapes) and as an A/B fallback (IVID_TPU_ATTN=flash)."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes, flash_attention,
+    )
+
+    b, t, c3 = qkv.shape
+    c = c3 // 3
+    d = c // heads
+    x = qkv.reshape(b, t, heads, 3 * d)
+    q, k, v = jnp.split(x, 3, axis=-1)
+    bq, bk = min(512, t), min(1024, t)
+    bs = BlockSizes(
+        block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
+        block_q_major_dkv=bq, block_k_major_dkv=bk,
+        block_k_dkv=bk, block_q_dkv=bq,
+        block_k_major_dq=bk, block_k_dq=bk, block_q_dq=bq,
+    )
+    out = flash_attention(
+        (q * scale).transpose(0, 2, 1, 3),
+        (k * scale).transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3),
+        causal=False, sm_scale=1.0, block_sizes=bs,
+    )
+    return out.transpose(0, 2, 1, 3).reshape(b, t, c)
+
+
+def reference_attention(qkv: jax.Array, heads: int, scale: float) -> jax.Array:
+    """Pure-jnp packed attention (fp32 softmax) — the CPU/parity reference."""
+    b, t, c3 = qkv.shape
+    c = c3 // 3
+    d = c // heads
+    x = qkv.reshape(b, t, heads, 3 * d)
+    q, k, v = jnp.split(x, 3, axis=-1)
+    logits = jnp.einsum("bthd,bshd->bhts", q * scale, k * scale)
+    w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(logits.dtype)
+    return jnp.einsum("bhts,bshd->bthd", w, v).reshape(b, t, c)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def packed_attention(qkv: jax.Array, heads: int, scale: float) -> jax.Array:
+    """Fused multi-head attention over a packed ``[B, T, 3C]`` qkv tensor."""
+    return _packed_attention_fwd_kernel(qkv, heads, scale)
+
+
+def _packed_fwd(qkv, heads, scale):
+    return _packed_attention_fwd_kernel(qkv, heads, scale), qkv
+
+
+def _packed_bwd(heads, scale, qkv, g):
+    _, pull = jax.vjp(lambda z: unpacked_flash_attention(z, heads, scale), qkv)
+    return (pull(g)[0],)
+
+
+packed_attention.defvjp(_packed_fwd, _packed_bwd)
