@@ -47,9 +47,15 @@ _PAIR = 2 * _GROUP  # 384: lane-aligned head-pair stripe
 
 
 def _block_q(seq: int) -> int:
-    """Largest q-block that keeps the f32 logits panel [BQ, T] in VMEM."""
+    """Largest q-block that keeps the f32 logits panel [BQ, T] in VMEM.
+    ``IVID_TPU_ATTN_BQ`` overrides (sweep hook)."""
+    import os
+
+    override = os.environ.get("IVID_TPU_ATTN_BQ")
+    if override:
+        return min(int(override), seq)
     if seq <= 1024:
-        return min(512, seq)
+        return seq  # single q-block; the f32 logits panel is <= 4 MB
     if seq <= 2048:
         return 256
     return 128
