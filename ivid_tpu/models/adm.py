@@ -139,6 +139,12 @@ class SplitConv(nn.Module):
             jnp.float32,
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        # Note (profiled, round 2): replacing the k=1 pair with a fused
+        # dual-matmul Pallas kernel REGRESSED both models (115.4->126.8 ms
+        # flagship, 300->331 ms SR): the flatten to [B*H*W, C] fights the
+        # {3,0,2,1} activation layouts XLA picks around the scan carry, and
+        # the forced relayout copies cost more than the two-fusion form's
+        # materialized intermediate. The conv pair below is layout-native.
         out, lo = None, 0
         for p in parts:
             c = p.shape[-1]

@@ -56,9 +56,9 @@ def _block_q(seq: int) -> int:
         return min(int(override), seq)
     if seq <= 1024:
         return seq  # single q-block; the f32 logits panel is <= 4 MB
-    if seq <= 2048:
-        return 256
-    return 128
+    # Swept on the SR model (T=4096): BQ=256 beats 128 (fewer grid programs
+    # amortize the VPU softmax passes) and 512's logits panel overruns VMEM.
+    return 256
 
 
 def supports_packed(seq: int, heads: int, head_dim: int) -> bool:
