@@ -103,6 +103,7 @@ def _packed_attention_fwd_kernel(
     kernel = functools.partial(
         _attn_kernel, block_q=bq, scale2=float(scale) * float(scale)
     )
+    itemsize = jnp.dtype(qkv.dtype).itemsize
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, t, c), qkv.dtype),
@@ -112,6 +113,14 @@ def _packed_attention_fwd_kernel(
         ],
         out_specs=pl.BlockSpec((1, bq, 2 * HEAD_DIM), lambda b_, p, tq: (b_, tq, p)),
         interpret=interpret,
+        # Declare the real cost so XLA's cost model (and the MFU / baseline
+        # arithmetic built on it, bench.py) counts attention like the
+        # einsum/flash paths do: QK + PV = 4*B*H*T^2*D MACs-as-2flops.
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * heads * t * t * HEAD_DIM,
+            bytes_accessed=(b * t * 3 * c + b * t * c) * itemsize,
+            transcendentals=b * heads * t * t,
+        ),
     )(qkv)
 
 
