@@ -81,10 +81,20 @@ def ddpm_sample(
     clip_denoised: bool = False,
     steps: Optional[int] = None,
     return_trajectory: bool = False,
+    num_steps: Optional[int] = None,
+    i_start=None,
 ) -> dict:
     """Full-T ancestral (DDPM) sampling as one scan
     (reference: diffusion/samplers/ddpm.py:133-187). ``steps`` is accepted for
-    interface parity but must equal the schedule length (DDPM has no striding)."""
+    interface parity but must equal the schedule length (DDPM has no striding).
+
+    Chunked dispatch: ``num_steps`` (static) + ``i_start`` (may be traced)
+    scan timesteps ``i_start-1 … i_start-num_steps`` instead of the full
+    chain; passing the previous chunk's output as ``noise`` continues the
+    chain BIT-IDENTICALLY (per-step rngs fold the absolute timestep into the
+    same base ``rng``). Lets a 1000-step chain run as a few shorter device
+    dispatches — one compiled program serves every chunk since only the
+    traced ``i_start`` changes (see ``ScenePipeline._run_uncond``)."""
     s = framework.schedule
     T = s.timesteps
     assert steps is None or steps == T, "DDPM sampler runs the full schedule"
@@ -94,9 +104,14 @@ def ddpm_sample(
         noise = jax.random.normal(rng_init, (num, image_size, image_size, channels))
     x = noise
     nd = x.ndim
+    if num_steps is None:
+        num_steps = T
+    if i_start is None:
+        i_start = T
 
-    def step(x, i):
-        # i counts down: T-1 ... 0.
+    def step(x, k):
+        # absolute timestep, counting down: i_start-1 ... i_start-num_steps.
+        i = i_start - 1 - k
         t = jnp.full((x.shape[0],), i, jnp.int32)
         step_rng = jax.random.fold_in(rng, i)
         rng_model, rng_noise = jax.random.split(step_rng)
@@ -110,7 +125,7 @@ def ddpm_sample(
         out = (x_prev, pred_x_0) if return_trajectory else None
         return x_prev, out
 
-    x, traj = jax.lax.scan(step, x, jnp.arange(T - 1, -1, -1))
+    x, traj = jax.lax.scan(step, x, jnp.arange(num_steps))
     ret = {"samples": x}
     if return_trajectory:
         # Stacked per-step [T, B, ...] arrays, matching the reference's
@@ -135,11 +150,16 @@ def ddim_sample(
     clip_denoised: bool = False,
     edits: Optional[PredX0Edits] = None,
     return_trajectory: bool = False,
+    num_steps: Optional[int] = None,
+    i_start=None,
 ) -> dict:
     """Strided DDIM sampling as one scan, with guided pred_x_0 editing
     (reference: diffusion/samplers/ddim.py:105-165). Step pairs are
     ``(jump·(i+1), jump·i)`` for ``i = steps-1 … 0`` with ``jump = T // steps``;
-    the model is evaluated at ``t - 1`` (ddim.py:81,152-154)."""
+    the model is evaluated at ``t - 1`` (ddim.py:81,152-154).
+
+    ``num_steps``/``i_start`` chunk the scan exactly like :func:`ddpm_sample`
+    (DDIM-step indices rather than timesteps)."""
     s = framework.schedule
     T = s.timesteps
     steps = steps or T
@@ -150,8 +170,13 @@ def ddim_sample(
         noise = jax.random.normal(rng_init, (num, image_size, image_size, channels))
     x = noise
     nd = x.ndim
+    if num_steps is None:
+        num_steps = steps
+    if i_start is None:
+        i_start = steps
 
-    def step(x, i):
+    def step(x, k):
+        i = i_start - 1 - k
         t = jnp.full((x.shape[0],), jump * (i + 1), jnp.int32)
         t_prev = jnp.full((x.shape[0],), jump * i, jnp.int32)
         nz = _nonzero_mask(t_prev, nd)
@@ -180,7 +205,7 @@ def ddim_sample(
         out = (x_prev, pred_x_0) if return_trajectory else None
         return x_prev, out
 
-    x, traj = jax.lax.scan(step, x, jnp.arange(steps - 1, -1, -1))
+    x, traj = jax.lax.scan(step, x, jnp.arange(num_steps))
     ret = {"samples": x}
     if return_trajectory:
         ret["pred_x_t"], ret["pred_x_0"] = traj
@@ -191,3 +216,18 @@ def make_sampler(steps: int, timesteps: int = 1000):
     """Pick DDPM for full-schedule sampling, DDIM otherwise
     (reference: inference/sample.py:47)."""
     return ddpm_sample if steps >= timesteps else ddim_sample
+
+
+def default_chunk() -> int:
+    """Max scan steps per device dispatch for LONG sampling chains.
+
+    The relayed single-chip TPU backend kills dispatches that run for more
+    than ~1-2 minutes (observed: a 115 s 1000-step DDPM dispatch crashes the
+    worker REGARDLESS of attention implementation; 50-step/6 s programs are
+    fine). Chunking a 1000-step chain into four 250-step dispatches costs 3
+    extra dispatch round trips (~0.1 s) on 115 s of work and is bit-identical
+    (absolute-timestep rng folding). 0 disables chunking.
+    Override with ``IVID_TPU_SAMPLER_CHUNK``."""
+    import os
+
+    return int(os.environ.get("IVID_TPU_SAMPLER_CHUNK", "250"))

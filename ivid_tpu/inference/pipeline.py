@@ -145,7 +145,22 @@ class ScenePipeline:
             self.mesh = None
         self.agg_batch_mode = agg_batch_mode
 
-        self._uncond_fn = jax.jit(self._uncond_sample)
+        # Long uncond chains run as host-chained chunk dispatches: the relayed
+        # single-chip backend kills device dispatches beyond ~1-2 min (a
+        # 115 s 1000-step DDPM program crashes the worker), and chunking is
+        # bit-identical (samplers fold ABSOLUTE step indices into the rng).
+        self._n_uncond_steps = (
+            framework_uncond.schedule.timesteps
+            if steps_uncond >= framework_uncond.schedule.timesteps
+            else steps_uncond
+        )
+        chunk = samplers.default_chunk()
+        self._uncond_chunk = (
+            chunk if 0 < chunk < self._n_uncond_steps else self._n_uncond_steps
+        )
+        self._uncond_fn = jax.jit(
+            partial(self._uncond_sample, num_steps=self._uncond_chunk)
+        )
         self._mesh_fn = jax.jit(self._make_meshes)
         # Aggregation re-jits per slot-bucket shape; the (expensive) guided
         # DDIM program is shape-stable and compiles once.
@@ -154,20 +169,35 @@ class ScenePipeline:
 
     # ---- jitted bodies ----
 
-    def _uncond_sample(self, params, rng, noise, classes):
+    def _uncond_sample(self, params, rng, noise, classes, i_start, *, num_steps):
         T = self.fw_uncond.schedule.timesteps
         cond = {"classes": classes} if classes is not None else None
         if self.steps_uncond >= T:
             out = samplers.ddpm_sample(
                 self.fw_uncond, params, rng, noise=noise, cond=cond,
-                guidance=self.guidance,
+                guidance=self.guidance, num_steps=num_steps, i_start=i_start,
             )
         else:
             out = samplers.ddim_sample(
                 self.fw_uncond, params, rng, noise=noise, cond=cond,
                 guidance=self.guidance, steps=self.steps_uncond,
+                num_steps=num_steps, i_start=i_start,
             )
         return out["samples"]
+
+    def _run_uncond(self, params, rng, noise, classes):
+        """Host-chained chunked uncond sampling (one program, traced i_start)."""
+        x, i = noise, self._n_uncond_steps
+        while i > 0:
+            k = min(self._uncond_chunk, i)
+            if k == self._uncond_chunk:
+                x = self._uncond_fn(params, rng, x, classes, jnp.int32(i))
+            else:  # tail chunk when chunk doesn't divide the step count
+                x = jax.jit(partial(self._uncond_sample, num_steps=k))(
+                    params, rng, x, classes, jnp.int32(i)
+                )
+            i -= k
+        return x
 
     def _make_meshes(self, rgbd01, modelview):
         """Batched depth→mesh lift (reference: sample.py:128-139)."""
@@ -299,7 +329,7 @@ class ScenePipeline:
             mvs = shard(mvs)
             if classes is not None:
                 classes = shard(classes)
-        x0 = self._uncond_fn(params_uncond, r0, noise, classes)
+        x0 = self._run_uncond(params_uncond, r0, noise, classes)
         samples = [x0]
         conds = {"color": [], "depth": []}
 
