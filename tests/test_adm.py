@@ -233,3 +233,49 @@ def test_split_skip_matches_concat(monkeypatch):
     assert jax.tree.structure(shapes) == jax.tree.structure(params)
     out_split = np.asarray(model2.apply({"params": params}, x, t))
     np.testing.assert_allclose(out_concat, out_split, atol=2e-5)
+
+
+def test_head_conv_matches_nn_conv():
+    """_HeadConv (sublane-padded output head) must be numerically identical
+    to a plain nn.Conv with the same parameters."""
+    import flax.linen as nn
+
+    from ivid_tpu.models.adm import _HeadConv
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 16)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((3, 3, 16, 4)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((4,)).astype(np.float32))
+    out = _HeadConv(4).apply({"params": {"kernel": k, "bias": b}}, x)
+    ref = nn.Conv(4, (3, 3), padding="SAME", dtype=jnp.float32,
+                  param_dtype=jnp.float32).apply(
+        {"params": {"kernel": k, "bias": b}}, x
+    )
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_upsample_fused_residual_add_matches_old_formulation():
+    """ResBlock up path: up(x)+h as a 2x2 phase broadcast-add (and the skip
+    1x1 conv moved before the upsample) must equal the materialized
+    upsample-then-add for both identity and channel-changing skips."""
+    from ivid_tpu.models.adm import ResBlock, upsample_nearest_2x
+
+    for cin, cout in [(8, 8), (8, 16)]:
+        rb = ResBlock(cout, num_groups=4, up=True, dtype=jnp.float32)
+        rng = np.random.default_rng(cin)
+        x = jnp.asarray(rng.standard_normal((2, 8, 8, cin)).astype(np.float32))
+        emb = jnp.asarray(rng.standard_normal((2, 32)).astype(np.float32))
+        v = rb.init(jax.random.PRNGKey(0), x, emb)
+        out = rb.apply(v, x, emb)
+        # Old formulation: upsample first, then residual-project and add.
+        # Reconstruct h from the module's own output: out - residual.
+        p = v["params"]
+        xu = upsample_nearest_2x(x)
+        if cin != cout:
+            xu = jax.lax.conv_general_dilated(
+                xu, p["skip_conv"]["kernel"], (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + p["skip_conv"]["bias"]
+        # h path is independent of the residual formulation: with zero-init
+        # out_conv, h == out_conv bias == 0, so out must equal xu exactly.
+        np.testing.assert_allclose(np.asarray(out), np.asarray(xu), atol=1e-6)
