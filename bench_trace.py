@@ -86,12 +86,19 @@ def main():
         except (TypeError, ValueError):
             return 0.0
 
+    # Enclosing events (the jit wrapper, `while`/`conditional` control-flow
+    # parents) span their children's durations — summing them would double-
+    # (or triple-) count every op, so they are excluded from totals.
+    _PARENT_CATS = {"(uncategorized)", "while", "conditional", "call"}
+
     by_cat = collections.defaultdict(lambda: [0.0, 0.0, 0.0, 0])  # us, flops, bytes, n
     by_op = collections.defaultdict(lambda: [0.0, 0.0, 0.0, 0])
     total_us = 0.0
     for e in events:
         a = e.get("args") or {}
         cat = a.get("hlo_category", "(uncategorized)")
+        if cat in _PARENT_CATS:
+            continue
         dur = float(e.get("dur", 0.0))
         fl = fnum(a, "model_flops") or fnum(a, "flops")
         by_ = fnum(a, "bytes_accessed")

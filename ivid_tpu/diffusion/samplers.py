@@ -99,6 +99,12 @@ def ddpm_sample(
     T = s.timesteps
     assert steps is None or steps == T, "DDPM sampler runs the full schedule"
     if noise is None:
+        # Chunking requires an explicit carry: the noise=None path SPLITS the
+        # rng before the step loop, so a chunked chain seeded this way would
+        # silently diverge from the unchunked run (different per-step rngs).
+        assert num_steps is None and i_start is None, (
+            "chunked sampling (num_steps/i_start) requires explicit noise"
+        )
         assert num is not None and image_size is not None
         rng, rng_init = jax.random.split(rng)
         noise = jax.random.normal(rng_init, (num, image_size, image_size, channels))
@@ -165,6 +171,10 @@ def ddim_sample(
     steps = steps or T
     jump = T // steps
     if noise is None:
+        # See ddpm_sample: chunking with noise=None would silently diverge.
+        assert num_steps is None and i_start is None, (
+            "chunked sampling (num_steps/i_start) requires explicit noise"
+        )
         assert num is not None and image_size is not None
         rng, rng_init = jax.random.split(rng)
         noise = jax.random.normal(rng_init, (num, image_size, image_size, channels))

@@ -161,6 +161,12 @@ class ScenePipeline:
         self._uncond_fn = jax.jit(
             partial(self._uncond_sample, num_steps=self._uncond_chunk)
         )
+        tail = self._n_uncond_steps % self._uncond_chunk
+        # Jitted ONCE here: wrapping per call would re-trace the full UNet
+        # sampler scan (tens of seconds of remote lowering) on every batch.
+        self._uncond_tail_fn = (
+            jax.jit(partial(self._uncond_sample, num_steps=tail)) if tail else None
+        )
         self._mesh_fn = jax.jit(self._make_meshes)
         # Aggregation re-jits per slot-bucket shape; the (expensive) guided
         # DDIM program is shape-stable and compiles once.
@@ -190,12 +196,8 @@ class ScenePipeline:
         x, i = noise, self._n_uncond_steps
         while i > 0:
             k = min(self._uncond_chunk, i)
-            if k == self._uncond_chunk:
-                x = self._uncond_fn(params, rng, x, classes, jnp.int32(i))
-            else:  # tail chunk when chunk doesn't divide the step count
-                x = jax.jit(partial(self._uncond_sample, num_steps=k))(
-                    params, rng, x, classes, jnp.int32(i)
-                )
+            fn = self._uncond_fn if k == self._uncond_chunk else self._uncond_tail_fn
+            x = fn(params, rng, x, classes, jnp.int32(i))
             i -= k
         return x
 

@@ -368,6 +368,21 @@ def _attention_impl(seq: int, heads: int, head_dim: int) -> str:
     from ivid_tpu.ops import attention as attn_ops
 
     impl = os.environ.get("IVID_TPU_ATTN", "auto")
+    if impl == "packed" and not (
+        jax.default_backend() == "tpu"
+        and attn_ops.supports_packed(seq, heads, head_dim)
+    ):
+        # The kernel is TPU-only and shape-gated; honoring a blanket override
+        # here would crash (CPU lowering, odd heads) or silently truncate the
+        # grid. Fall back loudly to the auto choice for this block.
+        import warnings
+
+        warnings.warn(
+            f"IVID_TPU_ATTN=packed unsupported for seq={seq} heads={heads} "
+            f"head_dim={head_dim} on {jax.default_backend()}; using auto",
+            stacklevel=2,
+        )
+        impl = "auto"
     if impl in ("packed", "flash", "einsum"):
         return impl
     # Back-compat escape hatch from round 2's A/B testing.
