@@ -194,6 +194,38 @@ def main():
     results["full_3x9_scenes_per_sec"] = batch / t_3x9(187)
     results["full_3x9_scenes_per_sec_uncapped"] = batch / t_3x9(441)
 
+    # SR cascade step (secondary metric; reference: configs/*_sr.json,
+    # diffusion/trainers/superres.py:124 — 50-step guided DDIM at 256²).
+    # Batch 27 = one 3x9 scene (measured MFU-optimal on v5e).
+    cfg_s = Config.load("configs/rgbd_imagenet_adm_256_128_small_sr.json")
+    model_s = build_backbone(cfg_s)
+    fw_s = build_framework_from_config(cfg_s, model_s)
+    sr_batch, sr_s = 27, 256
+    shapes_s = jax.eval_shape(
+        lambda: model_s.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, sr_s, sr_s, 8)),
+            jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.int32),
+        )["params"]
+    )
+    params_s = jax.tree.map(lambda sd: jnp.zeros(sd.shape, sd.dtype), shapes_s)
+    cond_s = {
+        "y": jnp.zeros((sr_batch, s, s, 4)),
+        "classes": jnp.arange(sr_batch, dtype=jnp.int32),
+    }
+    ddim_s = jax.jit(
+        lambda p, r: samplers.ddim_sample(
+            fw_s, p, r, num=sr_batch, image_size=sr_s,
+            cond=cond_s, guidance=3.0, steps=50,
+        )["samples"]
+    )
+    sync(ddim_s(params_s, jax.random.PRNGKey(4)))
+    best = 1e9
+    for i in range(2):
+        t0 = time.perf_counter()
+        sync(ddim_s(params_s, jax.random.PRNGKey(5 + i)))
+        best = min(best, time.perf_counter() - t0)
+    results["sr_step_ms"] = (best - floor) / 50 * 1000
+
     # A100 reference estimate (see module docstring).
     a100_peak, a100_mfu = 156e12, 0.30
     t_step_a100 = 2 * batch * flops_per_fwd / (a100_peak * a100_mfu)

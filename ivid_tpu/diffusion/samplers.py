@@ -168,7 +168,11 @@ def ddim_sample(
     (DDIM-step indices rather than timesteps)."""
     s = framework.schedule
     T = s.timesteps
-    steps = steps or T
+    steps = T if steps is None else steps
+    assert 1 <= steps <= T, (
+        f"steps={steps} outside [1, {T}]"  # steps > T would give jump=0 and
+        # silently evaluate the model at timestep -1 every step
+    )
     jump = T // steps
     if noise is None:
         # See ddpm_sample: chunking with noise=None would silently diverge.
@@ -221,11 +225,6 @@ def ddim_sample(
         ret["pred_x_t"], ret["pred_x_0"] = traj
     return ret
 
-
-def make_sampler(steps: int, timesteps: int = 1000):
-    """Pick DDPM for full-schedule sampling, DDIM otherwise
-    (reference: inference/sample.py:47)."""
-    return ddpm_sample if steps >= timesteps else ddim_sample
 
 
 def default_chunk() -> int:

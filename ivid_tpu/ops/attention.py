@@ -53,7 +53,15 @@ def _block_q(seq: int) -> int:
 
     override = os.environ.get("IVID_TPU_ATTN_BQ")
     if override:
-        return min(int(override), seq)
+        bq = min(int(override), seq)
+        if seq % bq:
+            # A silent fallback here would make a sweep datapoint measure a
+            # DIFFERENT implementation (supports_packed would reject the
+            # shape and the auto gate would pick flash/einsum).
+            raise ValueError(
+                f"IVID_TPU_ATTN_BQ={override} does not divide seq={seq}"
+            )
+        return bq
     if seq <= 1024:
         return seq  # single q-block; the f32 logits panel is <= 4 MB
     # Swept on the SR model (T=4096): BQ=256 beats 128 (fewer grid programs
@@ -68,6 +76,10 @@ def supports_packed(seq: int, heads: int, head_dim: int) -> bool:
         and seq >= 512
         and seq % _block_q(seq) == 0
         and seq <= 4096
+        # The flash-VJP backward's block sizes (bq=min(512,t), bk=min(1024,t))
+        # must divide t, or training crashes at backward trace time.
+        and seq % 512 == 0
+        and (seq <= 1024 or seq % 1024 == 0)
     )
 
 
