@@ -283,23 +283,6 @@ def resolve_zbuffer_sorted(
     return out, depth_win, covered
 
 
-def split_faces_border(grid_size: int) -> Tuple[np.ndarray, np.ndarray]:
-    """Statically partition the 2*(S-1)^2 grid faces into interior and border-ring
-    faces. Triangulation order matches :func:`ivid_tpu.ops.geometry.triangulate`:
-    first (S-1)^2 'upper' triangles then (S-1)^2 'lower', each cell-row-major."""
-    n = grid_size - 1
-    i, j = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
-    border_cell = (i == 0) | (i == n - 1) | (j == 0) | (j == n - 1)
-    border_cell = border_cell.reshape(-1)
-    cells = np.arange(n * n)
-    interior = cells[~border_cell]
-    border = cells[border_cell]
-    # Faces of cell c are 2c (upper) and 2c+1 (lower).
-    interior_faces = np.stack([2 * interior, 2 * interior + 1], -1).reshape(-1)
-    border_faces = np.stack([2 * border, 2 * border + 1], -1).reshape(-1)
-    return interior_faces.astype(np.int32), border_faces.astype(np.int32)
-
-
 def resolve_zbuffer(
     fragments: Sequence[FragmentBatch],
     payloads: Sequence[jnp.ndarray],
@@ -329,6 +312,15 @@ def resolve_zbuffer(
             choice = "sorted"
         else:
             choice = "tiled" if jax.default_backend() == "tpu" else "scatter"
+        if choice == "tiled":
+            from ivid_tpu.ops import raster_tiled
+
+            npix = render_size * render_size
+            # The tiled kernel requires P-aligned framebuffers and exact f32
+            # pixel keys (npix < 2^24); fall back rather than assert on
+            # non-standard render sizes.
+            if npix % raster_tiled.P or npix >= 2**24:
+                choice = "scatter"
     if choice == "tiled":
         from ivid_tpu.ops.raster_tiled import resolve_zbuffer_tiled
 

@@ -53,8 +53,8 @@ def _tile_kernel(bounds_ref, data_ref, out_ref, buf, sem):
     """One framebuffer tile: depth-min sweep, then winner-matmul sweep.
 
     bounds_ref: SMEM [T+1] int32 — fragment run boundaries per tile.
-    data_ref:   HBM  [8, N_pad] f32 — rows (key, z, p0, p1, p2, 1, 0, 0).
-    out_ref:    VMEM [1, P, 8] f32 — col 0 zbuf, 2-4 payload sums, 5 count.
+    data_ref:   HBM  [8, N_pad] f32 — rows (key, z, p0, p1, p2, p3, 1, 0).
+    out_ref:    VMEM [1, P, 8] f32 — col 0 zbuf, 2-5 payload sums, 6 count.
     buf:        VMEM [2, 8, CH] f32 double buffer.
     sem:        DMA semaphores (2,).
     """
@@ -106,7 +106,7 @@ def _tile_kernel(bounds_ref, data_ref, out_ref, buf, sem):
             win, chunk,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [P, 8] chunk winner sums (cols 2-4 payload, 5 count)
+        )  # [P, 8] chunk winner sums (cols 2-5 payload, 6 count)
         # Incremental exact merge: strictly-nearer chunk replaces, equal adds.
         less = zc < zbuf
         eq = zc == zbuf
@@ -125,13 +125,16 @@ def resolve_zbuffer_tiled(
     fragments: Sequence, payloads: Sequence[jnp.ndarray], render_size: int,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Drop-in for :func:`ivid_tpu.ops.raster.resolve_zbuffer` (payload K ≤ 3).
+    """Drop-in for :func:`ivid_tpu.ops.raster.resolve_zbuffer` (payload K ≤ 4).
 
     Returns ``(payload [R,R,K3], depth_win [R,R], covered [R,R])`` in image row
     order, tie-averaged like the scatter resolve.
     """
     npix = render_size * render_size
     assert npix % P == 0, f"render_size² must be a multiple of {P}"
+    # Pixel keys ride through the kernel as f32; beyond 2^24 distinct ids
+    # would round together and silently mis-bin fragments.
+    assert npix < 2**24, f"render_size {render_size} exceeds exact-f32 pixel ids"
     ntiles = npix // P
 
     pix = jnp.concatenate([f.pixel for f in fragments])
@@ -139,16 +142,20 @@ def resolve_zbuffer_tiled(
     valid = jnp.concatenate([f.valid for f in fragments])
     payload = jnp.concatenate(payloads, axis=0)
     k = payload.shape[-1]
-    assert k <= 3, f"tiled resolve supports K<=3 payload channels, got {k}"
-    if k < 3:
+    assert k <= 4, f"tiled resolve supports K<=4 payload channels, got {k}"
+    if k < 4:
         payload = jnp.concatenate(
-            [payload, jnp.zeros(payload.shape[:-1] + (3 - k,), payload.dtype)], -1
+            [payload, jnp.zeros(payload.shape[:-1] + (4 - k,), payload.dtype)], -1
         )
 
     key = jnp.where(valid, pix, npix).astype(jnp.int32)
     z = jnp.where(valid, d, _FAR).astype(jnp.float32)
-    key_s, z_s, p0, p1, p2 = jax.lax.sort(
-        (key, z) + tuple(payload[:, c].astype(jnp.float32) for c in range(3)),
+    # Invalid fragments can carry non-finite interpolated payloads (mixed-sign
+    # clip w); they never WIN, but they share winner-matmul chunks with real
+    # fragments and 0 * NaN would poison the whole accumulator row.
+    payload = jnp.where(valid[:, None], payload, 0.0)
+    key_s, z_s, p0, p1, p2, p3 = jax.lax.sort(
+        (key, z) + tuple(payload[:, c].astype(jnp.float32) for c in range(4)),
         num_keys=1,
     )
 
@@ -160,7 +167,7 @@ def resolve_zbuffer_tiled(
     pad = n_pad - n
     ones = jnp.ones_like(z_s)
     data = jnp.stack(
-        [key_s.astype(jnp.float32), z_s, p0, p1, p2, ones, ones * 0, ones * 0],
+        [key_s.astype(jnp.float32), z_s, p0, p1, p2, p3, ones, ones * 0],
         axis=0,
     )
     data = jnp.pad(data, ((0, 0), (0, pad)), constant_values=float(npix))
@@ -183,8 +190,8 @@ def resolve_zbuffer_tiled(
     )(bounds, data)
 
     zbuf = out[:, :, 0].reshape(npix)
-    pay = out[:, :, 2:5].reshape(npix, 3)
-    cnt = out[:, :, 5].reshape(npix)
+    pay = out[:, :, 2:6].reshape(npix, 4)[:, :k]
+    cnt = out[:, :, 6].reshape(npix)
 
     covered = zbuf < 1.5
     depth_win = jnp.where(covered, zbuf, 1.0)

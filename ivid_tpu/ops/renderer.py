@@ -55,15 +55,18 @@ def _unpacked_flags(flag: jnp.ndarray) -> jnp.ndarray:
 
 
 def _quad_fragments(
-    win, w, attrs, grid_size: int, render_size: int, level_u: int, level_v: int
+    win, w, attrs, grid_size: int, render_size: int, cell_mask: np.ndarray,
+    level_i: int, level_j: int,
 ) -> raster.FragmentBatch:
-    """Dense bilinear-lattice sampling of the border ring of grid cells — the
-    frustum-padding skirt, whose triangles can span the whole frame. ``level_u``
-    samples across the ring width, ``level_v`` along elongation."""
+    """Dense bilinear-lattice sampling of a static set of grid cells — the
+    frustum-padding skirt, whose quads can span the whole frame. ``level_i``
+    samples along each cell's i (row) axis, ``level_j`` along j; the caller
+    picks the dense axis to match the cell's screen-space elongation
+    (top/bottom skirt cells stretch along i, left/right along j, corners
+    both — a single orientation left whole skirt rows at zero coverage)."""
     n = grid_size - 1
     i, j = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
-    border = (i == 0) | (i == n - 1) | (j == 0) | (j == n - 1)
-    bi, bj = i[border], j[border]
+    bi, bj = i[cell_mask], j[cell_mask]
     idx = np.arange(grid_size * grid_size).reshape(grid_size, grid_size)
     tl = idx[bi, bj]
     tr = idx[bi, bj + 1]
@@ -71,8 +74,9 @@ def _quad_fragments(
     br = idx[bi + 1, bj + 1]
     corners = jnp.asarray(np.stack([tl, tr, bl, br], axis=-1))  # [Q,4]
 
-    au = (np.arange(level_u) + 0.5) / level_u
-    av = (np.arange(level_v) + 0.5) / level_v
+    # ``a`` interpolates tl/tr → bl/br (the i axis), ``b`` along j.
+    au = (np.arange(level_i) + 0.5) / level_i
+    av = (np.arange(level_j) + 0.5) / level_j
     aa, bb = np.meshgrid(au, av, indexing="ij")
     wts = np.stack(
         [(1 - aa) * (1 - bb), (1 - aa) * bb, aa * (1 - bb), aa * bb], axis=-1
@@ -136,12 +140,22 @@ def _raster_mesh(
         )
     ]
     if has_skirt:
-        frags.append(
-            _quad_fragments(
-                win, w, vertex_attrs, grid_size, render_size,
-                level_u=2, level_v=skirt_level,
+        n = grid_size - 1
+        i, j = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+        on_i = (i == 0) | (i == n - 1)
+        on_j = (j == 0) | (j == n - 1)
+        corner = on_i & on_j
+        # Dense axis follows each skirt cell's screen-space elongation.
+        for mask, li, lj in (
+            (on_i & ~corner, skirt_level, 2),   # top/bottom: stretch along i
+            (on_j & ~corner, 2, skirt_level),   # left/right: stretch along j
+            (corner, skirt_level, skirt_level),
+        ):
+            frags.append(
+                _quad_fragments(
+                    win, w, vertex_attrs, grid_size, render_size, mask, li, lj
+                )
             )
-        )
     return frags
 
 
@@ -169,15 +183,24 @@ def render_simple(
 
     # Payload carries uv, not rgb: the texture lookup happens ONCE per resolved
     # pixel instead of once per fragment (~6x fewer gathers at SSAA density).
+    # Reference fragment shader semantics (simple.fsh:12-18): backfaces write
+    # vec4(0,0,0,0) — black color AND zero alpha; edge-flagged FRONT faces
+    # write (texture, 0) — textured color, zero alpha. Both still write depth.
     payloads = []
     for f in frags:
         edge = f.attrs[:, 2]
-        # alpha=0 on edges and backfaces; depth still writes (simple.fsh:13-18).
+        frontf = f.front.astype(jnp.float32)
         alpha = jnp.where(f.front & (edge <= 0.999), 1.0, 0.0)
-        payloads.append(jnp.concatenate([f.attrs[:, 0:2], alpha[:, None]], axis=-1))
+        payloads.append(
+            jnp.concatenate(
+                [f.attrs[:, 0:2], alpha[:, None], frontf[:, None]], axis=-1
+            )
+        )
 
     payload, depth_win, covered = raster.resolve_zbuffer(frags, payloads, render_size)
-    rgb = _texture_nearest(color, payload[..., 0:2]) * covered[..., None]
+    del covered
+    front_mask = payload[..., 3:4] > 0.5
+    rgb = _texture_nearest(color, payload[..., 0:2]) * front_mask
     depth = near * far / (far - depth_win * (far - near))
     return {
         "color": rgb,
@@ -337,9 +360,3 @@ def render_aggregation(
 def stack_meshes(meshes: list) -> Mesh:
     """Stack single meshes into a leading-view-axis Mesh pytree."""
     return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *meshes)
-
-
-def empty_mesh_like(mesh: Mesh) -> Mesh:
-    """A degenerate (all-zero) mesh for unused aggregation slots; its zero
-    clip-space w makes every face invalid so it contributes nothing."""
-    return jax.tree.map(jnp.zeros_like, mesh)

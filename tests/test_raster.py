@@ -88,6 +88,9 @@ def test_quad_backface():
     assert not np.asarray(res["mask"]).any()
     # Depth still written (simple.fsh does not discard backfaces).
     assert (np.asarray(res["depth"])[16:48, 16:48] < 100).all()
+    # Backface-won pixels are BLACK, not textured (simple.fsh:13-15 writes
+    # vec4(0,0,0,0)) — unlike edge-flagged front faces, which keep texture.
+    assert (np.asarray(res["color"]) == 0).all()
 
 
 def test_occlusion():
