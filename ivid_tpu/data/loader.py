@@ -12,7 +12,15 @@ NEXT batch to be yielded — and a fresh loader constructed with
 per-epoch shuffle is a pure function of ``seed + epoch``). The trainer
 persists this cursor in its misc checkpoint (the reference restarts its
 dataloader from scratch on resume and silently replays data,
-basic.py:196-228; exact-resume is a deliberate improvement)."""
+basic.py:196-228; exact-resume is a deliberate improvement).
+
+Known multi-process limitation: with ``num_shards > 1`` each process yields
+FULL ``batch_size`` batches from its own shard, of which the trainer's
+``device_put`` consumes only the process's 1/num_shards row slice — data
+stays disjoint and correct, but each process loads num_shards x more items
+than used. The clean fix is per-process local batches assembled with
+``jax.make_array_from_process_local_data``; deferred until a multi-host
+environment exists to validate it (single-host runs have num_shards == 1)."""
 
 from __future__ import annotations
 
@@ -67,6 +75,14 @@ class DataLoader:
         epoch, batch0 = start
         while True:
             batches = self._epoch_indices(epoch)
+            if len(batches) == 0:
+                # Without this, the while-loop would spin forever recomputing
+                # empty permutations and next() would hang at 100% CPU.
+                raise ValueError(
+                    f"shard {self.shard_index}/{self.num_shards} of dataset "
+                    f"(len {len(self.dataset)}) yields zero full batches of "
+                    f"size {self.batch_size}"
+                )
             for b in range(batch0, len(batches)):
                 nxt = (epoch, b + 1) if b + 1 < len(batches) else (epoch + 1, 0)
                 yield nxt, batches[b]

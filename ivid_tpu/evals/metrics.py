@@ -25,6 +25,9 @@ import numpy as np
 
 
 def feature_statistics(features: np.ndarray):
+    # float64 throughout, like torch-fidelity (and like the KID path below):
+    # a float32 mean/outer-product over 10k features deviates measurably.
+    features = np.asarray(features, np.float64)
     mu = features.mean(axis=0)
     sigma = np.cov(features, rowvar=False)
     return mu, sigma
@@ -171,7 +174,10 @@ def extract_features(
 
     if cache_path and os.path.exists(cache_path):
         z = np.load(cache_path)
-        return z["feats"], z["logits"]
+        if z["feats"].shape[0] == len(images):
+            return z["feats"], z["logits"]
+        # Image set changed under the same cache name (e.g. a regenerated
+        # fake set) — recompute rather than silently score stale features.
     feats, logits = ext(images)
     if cache_path:
         os.makedirs(os.path.dirname(cache_path) or ".", exist_ok=True)

@@ -22,9 +22,16 @@ from flax import serialization
 
 
 def save_params(path: str, params: Any) -> None:
+    """Atomic write (tmp + rename): a mid-save kill must never leave a
+    truncated file that `--ckpt latest` resume would then try to decode.
+    The trainer writes ``model_step*`` LAST, so a partial save (missing
+    model file) makes :func:`find_latest_step` fall back to the previous
+    complete step instead of crashing on missing EMA/misc files."""
     params = jax.device_get(params)
-    with open(path, "wb") as f:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(serialization.to_bytes(params))
+    os.replace(tmp, path)
 
 
 def load_native_params(path: str, template: Any) -> Any:

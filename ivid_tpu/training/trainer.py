@@ -181,7 +181,6 @@ class BasicTrainer:
 
             def body(acc, inp):
                 i, mb = inp
-                loss, metrics = None, None
                 (loss, metrics), grads = jax.value_and_grad(
                     self._loss_fn, has_aux=True
                 )(params, jax.random.fold_in(rng_loss, i), mb)
@@ -222,9 +221,11 @@ class BasicTrainer:
     # ---- checkpointing (reference: basic.py:196-252) ----
 
     def save(self):
-        ckpt_io.save_params(
-            ckpt_io.model_path(self.output_dir, self.step), self.params
-        )
+        # EMA + misc first, model LAST: latest-step discovery keys on
+        # model_step*, so a mid-save kill leaves either a complete step or one
+        # whose missing model file makes resume fall back to the previous
+        # step — never a step that loads partially (all writes are atomic
+        # tmp+rename in ckpt_io.save_params).
         for rate, ema in zip(self.ema_rate, self.ema_params):
             ckpt_io.save_params(
                 ckpt_io.ema_path(self.output_dir, rate, self.step), ema
@@ -240,8 +241,13 @@ class BasicTrainer:
             "loader_pos": np.asarray(self._loader_obj.position, np.int64),
             "ema_rates": np.asarray(self.ema_rate, np.float64),
         }
-        with open(ckpt_io.misc_path(self.output_dir, self.step), "wb") as f:
+        misc_file = ckpt_io.misc_path(self.output_dir, self.step)
+        with open(misc_file + ".tmp", "wb") as f:
             f.write(serialization.to_bytes(misc))
+        os.replace(misc_file + ".tmp", misc_file)
+        ckpt_io.save_params(
+            ckpt_io.model_path(self.output_dir, self.step), self.params
+        )
 
     def load(self, load_dir: str, step: int = 0):
         params = ckpt_io.load_native_params(
@@ -283,6 +289,18 @@ class BasicTrainer:
 
     # ---- periodic eval sampling (reference: basic.py:254-282) ----
 
+    def _visualization_batch(self, num_samples: int) -> dict:
+        """Fetch a random item batch directly for sampling visualization.
+
+        A throwaway prefetching DataLoader here would load ~5x the items and
+        abandon its worker pool to GC; direct indexed fetch is exact."""
+        idx = np.random.default_rng(1234 + self.step).choice(
+            len(self.dataset), size=min(num_samples, len(self.dataset)),
+            replace=False,
+        )
+        items = [self.dataset[int(i)] for i in idx]
+        return {k: np.stack([it[k] for it in items]) for k in items[0]}
+
     def sample(self, suffix: Optional[str] = None, num_samples: int = 25, batch_size: int = 25):
         if suffix is None:
             suffix = f"step{self.step:07d}"
@@ -304,6 +322,8 @@ class BasicTrainer:
                 num=b, image_size=s, cond=cond, guidance=guidance, steps=250,
             )
             outs.append(np.asarray(out["samples"]))
+        if jax.process_index() != 0:
+            return  # computation above was collective; file IO is master-only
         imgs = np.concatenate(outs, axis=0)
         nrow = int(np.sqrt(num_samples))
         save_image_grid(
@@ -335,16 +355,21 @@ class BasicTrainer:
     def run(self):
         log_file = open(os.path.join(self.output_dir, "log.txt"), "a")
         is_master = jax.process_index() == 0
-        if is_master and self.step == 0 and self.sample_at_init:
+        if self.step == 0 and self.sample_at_init:
             # Initial sample grid (reference: basic.py:389-391); disable for
             # smoke runs where a 250-step DDIM at init dwarfs the training.
+            # Entered by ALL processes: sampling launches programs over the
+            # global mesh, which multi-controller JAX requires every process
+            # to join (file writes inside are master-gated).
             self.sample(suffix="init")
         log = []
         time_elapsed = 0.0
         while self.step < self.max_steps:
             t0 = time.time()
             metrics = self.run_step()
-            if (self.step + 1) % self.i_log == 0:
+            if (self.step + 1) % self.i_log == 0 or (
+                self.i_print and (self.step + 1) % self.i_print == 0
+            ):
                 metrics = jax.device_get(metrics)  # sync point
             dt = time.time() - t0
             time_elapsed += dt
@@ -363,6 +388,15 @@ class BasicTrainer:
                         ),
                     })
                 )
+                if self.i_print and self.step % self.i_print == 0:
+                    # Console progress (reference: basic.py prints every
+                    # i_print steps; log.txt/mlflow stay on the i_log cadence).
+                    print(
+                        f"step {self.step}/{self.max_steps} "
+                        f"loss {float(metrics['loss']):.4f} "
+                        f"({dt * 1000:.0f} ms/step, {time_elapsed:.0f}s elapsed)",
+                        flush=True,
+                    )
                 if self.step % self.i_log == 0:
                     for st, rec in log:
                         print(f"{st}: {json.dumps(rec)}", file=log_file)
@@ -371,8 +405,9 @@ class BasicTrainer:
                     log = []
                 if self.step % self.i_save == 0:
                     self.save()
-                if self.step % self.i_sample == 0:
-                    self.sample()
+            if self.step % self.i_sample == 0:
+                # Collective (see sample_at_init note): all processes enter.
+                self.sample()
 
     def _log_metrics(self, log):
         try:
@@ -481,8 +516,10 @@ class InpaintTrainer(FinetuneMixin, BasicTrainer):
                 out["mask_rgb"] = mask_rgb
 
             y = y * mask
-            y = y.at[..., :3].set(y[..., :3] * 2 - 1)
-            y = y.at[..., 3:].set(y[..., 3:] * 2 - 1)
+            # All four channels rescale [0,1] → [-1,1] (the reference's
+            # per-slice form, base.py:262-263, actually rescales CHW columns —
+            # see the compat note in checkpoint.finetune_load).
+            y = y * 2 - 1
             out.update({"y": y, "mask": mask})
             return out
 
@@ -497,14 +534,24 @@ class InpaintTrainer(FinetuneMixin, BasicTrainer):
         return out
 
     def sample(self, suffix: Optional[str] = None, num_samples: int = 25, batch_size: int = 25):
-        """Conditional sampling visualization (reference: inpaint.py:96-137)."""
+        """Conditional sampling visualization (reference: inpaint.py:96-137).
+
+        Skipped in multi-process runs: it mixes PER-PROCESS host batches with
+        the globally-sharded params, which multi-controller JAX cannot
+        express in one program (the uncond visualization in BasicTrainer
+        remains collective-safe and still runs)."""
+        if jax.process_count() > 1:
+            return
         if suffix is None:
             suffix = f"step{self.step:07d}"
-        loader = iter(DataLoader(self.dataset, batch_size=num_samples, num_workers=2))
-        batch = next(loader)
+        batch = self._visualization_batch(num_samples)
         device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
         rng = jax.random.fold_in(self.rng, 20_000 + self.step)
-        cond = jax.jit(self.prepare_batch)(device_batch, jax.random.fold_in(rng, 0))
+        if not hasattr(self, "_prepare_batch_jit"):
+            # Jitted once: a fresh jax.jit wrapper per call would re-trace the
+            # warp pipeline (minutes of remote lowering) on every sampling.
+            self._prepare_batch_jit = jax.jit(self.prepare_batch)
+        cond = self._prepare_batch_jit(device_batch, jax.random.fold_in(rng, 0))
         guidance = 3.0 if self.model.num_classes else 0.0
         out = samplers.ddim_sample(
             self.framework, self.params, rng,
@@ -537,11 +584,13 @@ class SuperResTrainer(FinetuneMixin, BasicTrainer):
             self.finetune_from(finetune_ckpt)
 
     def sample(self, suffix: Optional[str] = None, num_samples: int = 9, batch_size: int = 9):
-        """(reference: superres.py:96-134) — 50 DDIM steps."""
+        """(reference: superres.py:96-134) — 50 DDIM steps. See
+        InpaintTrainer.sample for the multi-process skip rationale."""
+        if jax.process_count() > 1:
+            return
         if suffix is None:
             suffix = f"step{self.step:07d}"
-        loader = iter(DataLoader(self.dataset, batch_size=num_samples, num_workers=2))
-        batch = next(loader)
+        batch = self._visualization_batch(num_samples)
         cond = {k: jnp.asarray(v) for k, v in batch.items() if k != "x_0"}
         rng = jax.random.fold_in(self.rng, 30_000 + self.step)
         guidance = 3.0 if self.model.num_classes else 0.0
