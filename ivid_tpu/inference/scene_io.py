@@ -11,6 +11,7 @@ otherwise identical).
 from __future__ import annotations
 
 import io
+from functools import lru_cache
 from typing import List, Tuple
 
 import numpy as np
@@ -34,6 +35,9 @@ def _png_decode(data: bytes) -> np.ndarray:
 
 def save_scene(path: str, meshes: List[geom.Mesh], colors: List[np.ndarray]) -> None:
     """(reference: inference/utils.py:74-101). ``colors`` in [0,1] float."""
+    assert len(meshes) == len(colors), (
+        f"{len(meshes)} meshes vs {len(colors)} colors"  # zip would truncate
+    )
     data = []
     for mesh, color in zip(meshes, colors):
         color8 = np.clip(np.asarray(color) * 255, 0, 255).astype(np.uint8)
@@ -51,6 +55,36 @@ def save_scene(path: str, meshes: List[geom.Mesh], colors: List[np.ndarray]) -> 
     np.savez_compressed(path, data=np.asarray(data, dtype=object))
 
 
+def _normalize_modelview(mv: np.ndarray) -> np.ndarray:
+    """Row-major [4,4] view matrix from whatever the npz stored.
+
+    Reference scenes pickle glm.mat4 objects whose numpy conversion is
+    COLUMN-major — the transpose of this repo's convention. A rigid row-major
+    view matrix has bottom row [0,0,0,1]; the transpose has it in the last
+    column instead, so the layout is detectable structurally."""
+    mv = np.asarray(mv, np.float32)
+    e = np.array([0.0, 0.0, 0.0, 1.0], np.float32)
+    if not np.allclose(mv[3], e, atol=1e-5) and np.allclose(mv[:, 3], e, atol=1e-5):
+        return np.ascontiguousarray(mv.T)
+    return mv
+
+
+@lru_cache(maxsize=None)
+def _mesh_builder(fov: float, atol: float, rtol: float, erode_rgb: int):
+    """One jitted depth→mesh rebuild per (fov, tolerance) combination.
+
+    Eager per-op execution here costs ~80 dispatches per view — roughly 3 s
+    on the relayed TPU backend — against one jitted call."""
+    import jax
+
+    return jax.jit(
+        lambda depth, mv: geom.depth_to_mesh(
+            depth, padding=32, fov=fov, modelview=mv,
+            atol=atol, rtol=rtol, erode_rgb=erode_rgb, cal_normal=True,
+        )
+    )
+
+
 def load_scene(
     path: str, atol: float = 0.03, rtol: float = 0.03, erode_rgb: int = 3
 ) -> Tuple[List[geom.Mesh], List[np.ndarray]]:
@@ -64,12 +98,8 @@ def load_scene(
         depth = np.frombuffer(
             _png_decode(d["depth"]).tobytes(), dtype=np.float32
         ).reshape(s, s, 1)
-        meshes.append(
-            geom.depth_to_mesh(
-                depth, padding=32, fov=float(d["fov"]), modelview=np.asarray(d["modelview"]),
-                atol=atol, rtol=rtol, erode_rgb=erode_rgb, cal_normal=True,
-            )
-        )
+        build = _mesh_builder(float(d["fov"]), atol, rtol, erode_rgb)
+        meshes.append(build(depth, _normalize_modelview(d["modelview"])))
         colors.append(color)
     return meshes, colors
 

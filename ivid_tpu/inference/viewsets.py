@@ -12,15 +12,42 @@ from typing import List, Optional
 
 import numpy as np
 
-from ivid_tpu.ops import camera as cam
+
+def _look_at(eye, center, up) -> np.ndarray:
+    """Plain-numpy twin of :func:`ivid_tpu.ops.camera.look_at`.
+
+    Host-side on purpose: the jnp version dispatches ~12 tiny ops per call,
+    and with the relayed TPU backend's ~40 ms round trip a 60-frame swing
+    trajectory would burn ~30 s building 4x4 matrices that are converted
+    straight back to numpy anyway (equivalence pinned by a test)."""
+    eye = np.asarray(eye, np.float32)
+    center = np.asarray(center, np.float32)
+    up = np.asarray(up, np.float32)
+    f = center - eye
+    f = f / np.linalg.norm(f)
+    s = np.cross(f, up)
+    s = s / np.linalg.norm(s)
+    u = np.cross(s, f)
+    m = np.stack([
+        np.concatenate([s, [-np.dot(s, eye)]]),
+        np.concatenate([u, [-np.dot(u, eye)]]),
+        np.concatenate([-f, [np.dot(f, eye)]]),
+        np.array([0.0, 0.0, 0.0, 1.0], np.float32),
+    ]).astype(np.float32)
+    return m
 
 
-def _orbit(yaw: float, pitch: float) -> np.ndarray:
-    return np.asarray(cam.orbit_modelview(yaw, pitch))
+def _orbit(yaw: float, pitch: float, radius: float = 1.0) -> np.ndarray:
+    eye = np.array([
+        radius * np.sin(yaw) * np.cos(pitch),
+        radius * np.sin(pitch),
+        radius * np.cos(yaw) * np.cos(pitch),
+    ], np.float32)
+    return _look_at(eye, np.zeros(3), np.array([0.0, 1.0, 0.0]))
 
 
 def canonical_view() -> np.ndarray:
-    return np.asarray(cam.look_at([0, 0, 1], [0, 0, 0], [0, 1, 0]))
+    return _look_at([0, 0, 1], [0, 0, 0], [0, 1, 0])
 
 
 def build_viewset(

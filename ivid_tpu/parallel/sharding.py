@@ -22,7 +22,10 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def batch_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
-    """Shard the leading (batch) dim over the data axis."""
+    """Shard the leading (batch) dim over the data axis; scalars replicate
+    (a rank-1 spec on a 0-d value would make device_put raise)."""
+    if ndim == 0:
+        return NamedSharding(mesh, P())
     return NamedSharding(mesh, P(("data",), *([None] * (ndim - 1))))
 
 
@@ -32,7 +35,7 @@ def _param_spec(path: str, shape, model_size: int) -> P:
         return P()
     name = path.split("/")[-2] if "/" in path else path
     last = shape[-1]
-    second = shape[-2] if len(shape) >= 2 else 1
+    second = shape[-2]
     # Column-parallel: qkv and the widening convs/denses split output features.
     if name in ("qkv", "in_conv", "emb_proj") and last % model_size == 0:
         return P(*([None] * (len(shape) - 1)), "model")

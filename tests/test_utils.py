@@ -84,3 +84,35 @@ def test_model_summary():
     )
     assert "Total params:" in s
     assert "mid_attn" in s
+
+
+def test_viewsets_numpy_lookat_matches_camera_op():
+    """viewsets builds camera matrices in plain numpy (host-side, avoids
+    per-op relay dispatches); it must match ops.camera.look_at exactly."""
+    import jax.numpy as jnp
+
+    from ivid_tpu.inference import viewsets as vs
+    from ivid_tpu.ops import camera as cam
+
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        yaw, pitch = rng.uniform(-0.6, 0.6), rng.uniform(-0.3, 0.3)
+        a = vs._orbit(yaw, pitch)
+        b = np.asarray(cam.orbit_modelview(yaw, pitch))
+        np.testing.assert_allclose(a, b, atol=1e-6)
+    np.testing.assert_allclose(
+        vs.canonical_view(),
+        np.asarray(cam.look_at([0, 0, 1], [0, 0, 0], [0, 1, 0])),
+        atol=1e-6,
+    )
+
+
+def test_scene_modelview_layout_normalization():
+    """Column-major (glm-pickled reference) modelviews are transposed back;
+    row-major ones pass through untouched."""
+    from ivid_tpu.inference.scene_io import _normalize_modelview
+    from ivid_tpu.inference.viewsets import _orbit
+
+    mv = _orbit(0.3, 0.1)
+    np.testing.assert_array_equal(_normalize_modelview(mv), mv)
+    np.testing.assert_allclose(_normalize_modelview(mv.T), mv, atol=1e-6)
