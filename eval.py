@@ -84,6 +84,12 @@ def main():
                         "defaults to the parent of --tmp_dir")
     p.add_argument("--image_size", type=int, default=128)
     p.add_argument("--num_samples", type=int, default=10000)
+    p.add_argument(
+        "--max_real_images", type=int, default=None,
+        help="cap the real set (random subset, seeded). The full set is the "
+             "reference protocol, but it is materialized in RAM as float32 "
+             "(~200 KB per 128px image) — cap for very large directories",
+    )
     p.add_argument("--real_images_cache_name", type=str, default=None)
     p.add_argument("--fake_images_cache_name", type=str, default=None)
     p.add_argument("--use_real_images_cache", action="store_true")
@@ -93,12 +99,16 @@ def main():
 
     from ivid_tpu.evals import compute_metrics
 
+    # Default cache names carry the image size: a cache written at one
+    # --image_size must never be silently reused at another (the count-based
+    # staleness check in metrics.extract_features can't catch a resolution
+    # change on the same directory).
     opt.real_images_cache_name = (
-        opt.real_images_dir.replace("/", "_")
+        f"{opt.real_images_dir.replace('/', '_')}-{opt.image_size}"
         if opt.real_images_cache_name is None else opt.real_images_cache_name
     )
     opt.fake_images_cache_name = (
-        opt.fake_images_dir.replace("/", "_")
+        f"{opt.fake_images_dir.replace('/', '_')}-{opt.image_size}"
         if opt.fake_images_cache_name is None else opt.fake_images_cache_name
     )
     os.makedirs(opt.tmp_dir, exist_ok=True)
@@ -117,7 +127,10 @@ def main():
         else:
             real = None
         if real is None:
-            real = load_real_images(opt.real_images_dir, opt.image_size)
+            real = load_real_images(
+                opt.real_images_dir, opt.image_size,
+                num_samples=opt.max_real_images,
+            )
             np.savez_compressed(real_cache, images=(real * 255).astype(np.uint8))
     if real.dtype == np.uint8:
         real = real.astype(np.float32) / 255.0
@@ -130,7 +143,10 @@ def main():
     metrics = compute_metrics(
         fake, real, extractor=opt.extractor,
         cache_dir=opt.tmp_dir,
-        real_name=opt.real_images_cache_name if opt.use_real_images_cache else None,
+        # Real-set features always cache (the expensive half at 10k+ images;
+        # reference: eval.py always passes input2_cache_name). The staleness
+        # guard in extract_features recomputes when the set size changes.
+        real_name=opt.real_images_cache_name,
     )
     print(metrics)
     metrics_dir = opt.metrics_dir or os.path.dirname(opt.tmp_dir.rstrip("/")) or "metrics"

@@ -277,11 +277,34 @@ def _make_forward(params: Dict[str, np.ndarray]):
             outs.append(y)
         return jnp.concatenate(outs, axis=-1)
 
+    def resize_tf1(x, out=299):
+        """Origin-aligned bilinear upsample (TF1 ``resize_bilinear`` with
+        ``align_corners=False``: src = dst * in/out, NO half-pixel offset) —
+        the kernel torch-fidelity uses
+        (interpolate_bilinear_2d_like_tensorflow1x). jax.image.resize's
+        half-pixel convention (= pytorch-fid) shifts every feature slightly;
+        matching the kernel matters for FID parity with torch-fidelity."""
+        b, h, w, c = x.shape
+
+        def axis(n_in):
+            coords = jnp.arange(out, dtype=jnp.float32) * (n_in / out)
+            lo = jnp.floor(coords).astype(jnp.int32)
+            hi = jnp.minimum(lo + 1, n_in - 1)
+            return lo, hi, coords - lo
+
+        ylo, yhi, ty = axis(h)
+        xlo, xhi, tx = axis(w)
+        tx = tx[None, None, :, None]
+        ty = ty[None, :, None, None]
+        top = x[:, ylo][:, :, xlo] * (1 - tx) + x[:, ylo][:, :, xhi] * tx
+        bot = x[:, yhi][:, :, xlo] * (1 - tx) + x[:, yhi][:, :, xhi] * tx
+        return top * (1 - ty) + bot * ty
+
     def forward(imgs):
-        """imgs [B,H,W,3] float in [0,1] → (features [B,2048], logits [B,1008])."""
-        x = jax.image.resize(
-            imgs, (imgs.shape[0], 299, 299, 3), method="bilinear", antialias=False
-        )
+        """imgs [B,H,W,3] float in [0,1] → (features [B,2048],
+        logits [B,1008] — UNBIASED (no fc bias), torch-fidelity's
+        'logits_unbiased' feature that its inception score consumes)."""
+        x = resize_tf1(imgs)
         x = (x * 255.0 - 128.0) / 128.0
         for name, _, k, s, p in STEM:
             if name == "maxpool":
@@ -291,7 +314,7 @@ def _make_forward(params: Dict[str, np.ndarray]):
         for mname, block in MIXED:
             x = mixed(mname, block, x)
         feats = x.mean(axis=(1, 2))
-        logits = feats @ P["fc.weight"] + P["fc.bias"]
+        logits = feats @ P["fc.weight"]
         return feats, logits
 
     return jax.jit(forward)

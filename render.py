@@ -5,7 +5,7 @@ Mirrors the reference renderer CLI (reference: inference/render.py:17-88): load
 saved scenes, render a 60-frame swing orbit or a single random pose with the
 aggregation renderer at 5x SSAA, write videos (color + colorized depth) or a
 PNG. The environment ships no ffmpeg, so "video" output is GIF (plus optional
-per-frame PNGs via --frames_dir); everything else matches the reference layout
+per-frame PNGs via --save_frames); everything else matches the reference layout
 (``results/`` for random, ``videos/`` for swing).
 """
 
@@ -120,9 +120,11 @@ def main():
             for mv in swing_trajectory(opt.frames):
                 color, depth = render_frame(stacked, col, valid, jnp.asarray(mv))
                 frames_c.append(to8b(np.asarray(color)))
-                d = np.asarray(
-                    geom.project_depth(depth, near, far)
-                )[..., 0]
+                # Colorize with project_depth's DEFAULT near/far (0.5, 100),
+                # not the renderer's (0.1, 200) — the reference tone-maps with
+                # the defaults (reference: render.py:83, utils.py:61), and the
+                # mismatch saturates the INFERNO map toward the far end.
+                d = np.asarray(geom.project_depth(depth, 0.5, 100.0))[..., 0]
                 frames_d.append(to8b(colorize_depth(d, vmin=0, vmax=1)))
             save_video(
                 os.path.join(opt.output_dir, "videos", name), frames_c

@@ -145,8 +145,13 @@ def main():
     num_classes = cfg_uncond.backbone["args"].get("num_classes")
     classes = None
     if num_classes:
+        # --num_samples mode has no seed list; index-derived pseudo-seeds keep
+        # the default --classes mod usable (the reference crashes here,
+        # sample.py:296 — seeds[i] on None). Local only: downstream
+        # seed-derived noise/filenames still see seeds=None in that mode.
+        seed_basis = seeds if seeds is not None else list(range(num_samples))
         if opt.classes == "mod":
-            classes = [seeds[i] % num_classes for i in range(num_samples)]
+            classes = [seed_basis[i] % num_classes for i in range(num_samples)]
         elif opt.classes == "random":
             classes = [np.random.randint(num_classes) for _ in range(num_samples)]
         elif opt.classes == "uniform":
@@ -166,10 +171,19 @@ def main():
         x = jnp.zeros((1, s, s, c))
         t = jnp.zeros((1,), jnp.int32)
         cl = jnp.zeros((1,), jnp.int32) if cfg.backbone["args"].get("num_classes") else None
-        template = model.init(jax.random.PRNGKey(0), x, t, cl)["params"]
         if ckpt_path == "random":
-            params = template
+            # Only the random-params smoke path needs a real device init.
+            params = model.init(jax.random.PRNGKey(0), x, t, cl)["params"]
         else:
+            # Checkpoint loads only need SHAPES: a live init of the 550M
+            # model is a separate multi-minute XLA program (CLAUDE.md), and
+            # the torch loader ignores the template values entirely.
+            shapes = jax.eval_shape(
+                lambda: model.init(jax.random.PRNGKey(0), x, t, cl)["params"]
+            )
+            template = jax.tree.map(
+                lambda sd: np.zeros(sd.shape, sd.dtype), shapes
+            )
             params = ckpt_io.load_params(
                 ckpt_path, template, cfg.backbone["args"]
             )

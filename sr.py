@@ -24,6 +24,12 @@ def parse_args():
     p.add_argument("--output_dir", type=str, default=None)
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("--guidance", type=float, default=3.0)
+    p.add_argument(
+        "--classes", type=str, default="mod", choices=["mod", "none"],
+        help="mod: class = seed %% num_classes parsed from the scene filename "
+             "(matches sample.py's default class selection, so guided SR sees "
+             "the class each scene was generated with); none: unconditional",
+    )
     p.add_argument("--batchsize", type=int, default=27)  # one 3x9 scene; measured MFU-optimal on v5e (52% vs 45% at 9)
     p.add_argument("--near", type=float, default=0.6)
     p.add_argument("--far", type=float, default=5.0)
@@ -56,11 +62,20 @@ def main():
 
     x = jnp.zeros((1, s_hi, s_hi, cfg.backbone["args"]["in_channels"]))
     cl = jnp.zeros((1,), jnp.int32) if cfg.backbone["args"].get("num_classes") else None
-    template = model.init(jax.random.PRNGKey(0), x, jnp.zeros((1,), jnp.int32), cl)["params"]
-    params = (
-        template if opt.ckpt_sr == "random"
-        else ckpt_io.load_params(opt.ckpt_sr, template, cfg.backbone["args"])
-    )
+    if opt.ckpt_sr == "random":
+        params = model.init(
+            jax.random.PRNGKey(0), x, jnp.zeros((1,), jnp.int32), cl
+        )["params"]
+    else:
+        # Shapes only — a live device init is a multi-minute XLA program the
+        # checkpoint load never uses (see sample.py build()).
+        shapes = jax.eval_shape(
+            lambda: model.init(
+                jax.random.PRNGKey(0), x, jnp.zeros((1,), jnp.int32), cl
+            )["params"]
+        )
+        template = jax.tree.map(lambda sd: np.zeros(sd.shape, sd.dtype), shapes)
+        params = ckpt_io.load_params(opt.ckpt_sr, template, cfg.backbone["args"])
     params = jax.device_put(params)
 
     if opt.output_dir is None:
@@ -86,9 +101,21 @@ def main():
         scenes = scenes[: opt.max_scenes]
     print(f"Found {len(scenes)} scenes.")
 
+    import re
+
+    num_classes = cfg.backbone["args"].get("num_classes")
+
     for si, scene_path in enumerate(scenes):
         meshes, colors = load_scene(scene_path)
         name = os.path.basename(scene_path)[:-4]
+        # Class label from the scene filename's seed (sample.py names scenes
+        # scene_seed%05d and selects classes seed %% num_classes by default);
+        # without it CFG can never engage and --guidance was silently dead.
+        scene_cls = None
+        if num_classes and opt.classes == "mod":
+            m = re.search(r"seed(\d+)", name)
+            if m:
+                scene_cls = int(m.group(1)) % num_classes
         views = []
         for mesh, color in zip(meshes, colors):
             depth_stored = np.asarray(
@@ -101,7 +128,11 @@ def main():
         for i in range(0, len(views), opt.batchsize):
             y = jnp.asarray(views[i : i + opt.batchsize] * 2 - 1)
             rng = jax.random.PRNGKey(1000 * si + i)
-            out = sr_batch(params, rng, y, None)
+            cls = (
+                jnp.full((y.shape[0],), scene_cls, jnp.int32)
+                if scene_cls is not None else None
+            )
+            out = sr_batch(params, rng, y, cls)
             out_views.append(np.asarray(out) * 0.5 + 0.5)
         out_views = np.concatenate(out_views)
 

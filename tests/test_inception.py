@@ -164,8 +164,28 @@ class TorchFidInception(nn.Module):
         self.Mixed_7c = FidInceptionE(2048, "max")
         self.fc = nn.Linear(2048, LOGIT_DIM)
 
+    @staticmethod
+    def _resize_tf1(x, out=299):
+        # TF1-style origin-aligned bilinear (torch-fidelity's
+        # interpolate_bilinear_2d_like_tensorflow1x): src = dst * in/out.
+        b, c, h, w = x.shape
+
+        def axis(n_in):
+            coords = torch.arange(out, dtype=torch.float32) * (n_in / out)
+            lo = torch.floor(coords).long()
+            hi = torch.clamp(lo + 1, max=n_in - 1)
+            return lo, hi, coords - lo
+
+        ylo, yhi, ty = axis(h)
+        xlo, xhi, tx = axis(w)
+        tx = tx.view(1, 1, 1, -1)
+        ty = ty.view(1, 1, -1, 1)
+        top = x[:, :, ylo][:, :, :, xlo] * (1 - tx) + x[:, :, ylo][:, :, :, xhi] * tx
+        bot = x[:, :, yhi][:, :, :, xlo] * (1 - tx) + x[:, :, yhi][:, :, :, xhi] * tx
+        return top * (1 - ty) + bot * ty
+
     def forward(self, x01):
-        x = F.interpolate(x01, size=(299, 299), mode="bilinear", align_corners=False)
+        x = self._resize_tf1(x01)
         x = (x * 255.0 - 128.0) / 128.0
         x = self.Conv2d_2b_3x3(self.Conv2d_2a_3x3(self.Conv2d_1a_3x3(x)))
         x = F.max_pool2d(x, 3, stride=2)
@@ -178,7 +198,8 @@ class TorchFidInception(nn.Module):
         ]:
             x = getattr(self, name)(x)
         feats = x.mean(dim=(2, 3))
-        return feats, self.fc(feats)
+        # torch-fidelity's 'logits_unbiased': fc matmul WITHOUT the bias.
+        return feats, F.linear(feats, self.fc.weight)
 
 
 @pytest.fixture(scope="module")
