@@ -145,7 +145,8 @@ def main():
         cache_dir=opt.tmp_dir,
         # Real-set features always cache (the expensive half at 10k+ images;
         # reference: eval.py always passes input2_cache_name). The staleness
-        # guard in extract_features recomputes when the set size changes.
+        # guard in extract_features fingerprints the image content, so an
+        # in-place regeneration with the same count still recomputes.
         real_name=opt.real_images_cache_name,
     )
     print(metrics)

@@ -169,20 +169,41 @@ def extract_features(
 ):
     """Run (or load cached) features+logits for an image set. The feature
     cache mirrors the reference's torch-fidelity stat caching
-    (reference: eval.py:11-23) — real-set features are reused across evals."""
+    (reference: eval.py:11-23) — real-set features are reused across evals.
+
+    Staleness is checked by a content fingerprint of the image set (sampled
+    pixel hash + shape), not just the image count: a regenerated set with the
+    same count under the same cache name must not score stale features."""
     import os
 
+    fp = _image_set_fingerprint(images)
     if cache_path and os.path.exists(cache_path):
         z = np.load(cache_path)
-        if z["feats"].shape[0] == len(images):
+        if "fingerprint" in z and str(z["fingerprint"]) == fp:
             return z["feats"], z["logits"]
-        # Image set changed under the same cache name (e.g. a regenerated
-        # fake set) — recompute rather than silently score stale features.
+        # Fingerprint mismatch (or a pre-fingerprint cache): the image set
+        # changed under the same cache name — recompute rather than silently
+        # score stale features.
     feats, logits = ext(images)
     if cache_path:
         os.makedirs(os.path.dirname(cache_path) or ".", exist_ok=True)
-        np.savez_compressed(cache_path, feats=feats, logits=logits)
+        np.savez_compressed(cache_path, feats=feats, logits=logits, fingerprint=fp)
     return feats, logits
+
+
+def _image_set_fingerprint(images: np.ndarray) -> str:
+    """Cheap content hash: shape + sha1 over <=256 deterministically sampled
+    images. O(sample) regardless of set size; any regeneration of the set is
+    overwhelmingly likely to change it."""
+    import hashlib
+
+    n = len(images)
+    idx = np.linspace(0, n - 1, num=min(n, 256), dtype=np.int64) if n else []
+    h = hashlib.sha1()
+    h.update(repr((images.shape, str(images.dtype))).encode())
+    for i in idx:
+        h.update(np.ascontiguousarray(images[i]).tobytes())
+    return h.hexdigest()
 
 
 def _safe_tag(extractor: str) -> str:

@@ -370,7 +370,9 @@ def _attention_impl(seq: int, heads: int, head_dim: int) -> str:
     impl = os.environ.get("IVID_TPU_ATTN", "auto")
     if impl == "packed" and not (
         jax.default_backend() == "tpu"
-        and attn_ops.supports_packed(seq, heads, head_dim)
+        # strict: an explicit packed request with a non-dividing BQ override
+        # raises instead of silently measuring a different implementation.
+        and attn_ops.supports_packed(seq, heads, head_dim, strict=True)
     ):
         # The kernel is TPU-only and shape-gated; honoring a blanket override
         # here would crash (CPU lowering, odd heads) or silently truncate the
@@ -379,6 +381,21 @@ def _attention_impl(seq: int, heads: int, head_dim: int) -> str:
 
         warnings.warn(
             f"IVID_TPU_ATTN=packed unsupported for seq={seq} heads={heads} "
+            f"head_dim={head_dim} on {jax.default_backend()}; using auto",
+            stacklevel=2,
+        )
+        impl = "auto"
+    if impl == "flash" and not (
+        jax.default_backend() == "tpu"
+        and attn_ops.supports_flash(seq, heads, head_dim)
+    ):
+        # Same validation the packed override gets: flash is a Pallas TPU
+        # kernel — honoring it on CPU (or at a non-dividing seq) fails at
+        # trace time with an opaque lowering error.
+        import warnings
+
+        warnings.warn(
+            f"IVID_TPU_ATTN=flash unsupported for seq={seq} heads={heads} "
             f"head_dim={head_dim} on {jax.default_backend()}; using auto",
             stacklevel=2,
         )
@@ -392,7 +409,7 @@ def _attention_impl(seq: int, heads: int, head_dim: int) -> str:
         return "einsum"
     if attn_ops.supports_packed(seq, heads, head_dim):
         return "packed"
-    return "flash" if head_dim in (64, 128, 256) else "einsum"
+    return "flash" if attn_ops.supports_flash(seq, heads, head_dim) else "einsum"
 
 
 class AttentionBlock(nn.Module):

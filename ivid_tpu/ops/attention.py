@@ -69,17 +69,42 @@ def _block_q(seq: int) -> int:
     return 256
 
 
-def supports_packed(seq: int, heads: int, head_dim: int) -> bool:
+def supports_packed(
+    seq: int, heads: int, head_dim: int, strict: bool = False
+) -> bool:
+    """Shape gate for the packed kernel. With ``strict=False`` (the auto
+    selection path) a non-dividing ``IVID_TPU_ATTN_BQ`` override simply means
+    "unsupported here" and another impl is chosen; with ``strict=True`` (an
+    explicit ``IVID_TPU_ATTN=packed`` request, i.e. a sweep datapoint) it
+    raises, so a sweep never silently measures a different implementation."""
+    try:
+        bq = _block_q(seq)
+    except ValueError:
+        if strict:
+            raise
+        return False
     return (
         head_dim == HEAD_DIM
         and heads % 2 == 0
         and seq >= 512
-        and seq % _block_q(seq) == 0
+        and seq % bq == 0
         and seq <= 4096
         # The flash-VJP backward's block sizes (bq=min(512,t), bk=min(1024,t))
         # must divide t, or training crashes at backward trace time.
         and seq % 512 == 0
         and (seq <= 1024 or seq % 1024 == 0)
+    )
+
+
+def supports_flash(seq: int, heads: int, head_dim: int) -> bool:
+    """Shape gate for the stock pallas flash kernel (TPU-only): its block
+    sizes (bq=min(512,t), bk=min(1024,t)) must divide t, and the kernel is
+    tiled for power-of-two head widths."""
+    del heads
+    return (
+        head_dim in (64, 128, 256)
+        and (seq < 512 or seq % 512 == 0)
+        and (seq < 1024 or seq % 1024 == 0)
     )
 
 

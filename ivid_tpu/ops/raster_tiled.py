@@ -175,7 +175,7 @@ def resolve_zbuffer_tiled(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(ntiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, P, 8), lambda t, b: (t, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, 8, CH), jnp.float32),

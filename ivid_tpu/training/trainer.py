@@ -52,6 +52,21 @@ from ivid_tpu.training import checkpoint as ckpt_io
 from ivid_tpu.utils import save_image_grid
 
 
+def _host_array(x) -> np.ndarray:
+    """Fetch a (possibly multi-host-sharded) jax.Array as host numpy.
+
+    Sampling is collective — every process enters the jitted program — but
+    only the master writes files. With model-sharded params the sampler
+    output may come back sharded rather than fully replicated, and
+    ``np.asarray`` on a non-fully-addressable global array raises on every
+    process; gather it explicitly first."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        x = multihost_utils.process_allgather(x, tiled=True)
+    return np.asarray(x)
+
+
 class BasicTrainer:
     """(reference: diffusion/trainers/basic.py:22-453)."""
 
@@ -321,7 +336,7 @@ class BasicTrainer:
                 self.framework, self.params, rng,
                 num=b, image_size=s, cond=cond, guidance=guidance, steps=250,
             )
-            outs.append(np.asarray(out["samples"]))
+            outs.append(_host_array(out["samples"]))
         if jax.process_index() != 0:
             return  # computation above was collective; file IO is master-only
         imgs = np.concatenate(outs, axis=0)

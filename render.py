@@ -46,6 +46,11 @@ def save_video(path_stem: str, frames, fps: int = 30) -> str:
     except ImportError:
         out = path_stem + ".gif"
         imageio.mimsave(out, frames, duration=1 / fps, loop=0)
+        print(
+            "note: no ffmpeg backend found — wrote GIF instead of mp4. "
+            "Install `imageio-ffmpeg` (pip install imageio-ffmpeg) to get "
+            f"{path_stem}.mp4 like the reference renderer."
+        )
         return out
 
 

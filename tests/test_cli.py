@@ -105,12 +105,14 @@ def test_eval_cli(tmp_path):
             tmp_path / "fake" / f"f{i}.png",
             (rng.uniform(size=(32, 32, 3)) * 255).astype(np.uint8),
         )
+    # The InceptionV3 CPU compile dominates this test (~7 min cold); give it a
+    # contention-proof budget so the full suite doesn't flake on loaded hosts.
     r = _run([
         "eval.py", "--real_images_dir", str(tmp_path / "real"),
         "--fake_images_dir", str(tmp_path / "fake"),
         "--tmp_dir", str(tmp_path / "cache"), "--image_size", "32",
         "--num_samples", "16", "--yes",
-    ])
+    ], timeout=2400)
     assert r.returncode == 0, r.stderr[-2000:]
     assert "frechet_inception_distance" in r.stdout
 

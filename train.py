@@ -109,8 +109,13 @@ def main():
 
         with trace(opt.profile_dir):
             for _ in range(3):
-                trainer.run_step()
-        print(f"profiler trace written to {opt.profile_dir}")
+                metrics = trainer.run_step()
+                trainer.step += 1  # profiled steps are real optimizer steps — count them
+            jax.block_until_ready(metrics)
+        print(
+            f"profiler trace written to {opt.profile_dir} "
+            f"(3 steps profiled; trainer resumes at step {trainer.step})"
+        )
 
     trainer.run()
 
