@@ -181,9 +181,18 @@ def main():
     samples_per_sec = batch / t_per_batch
     results["samples_per_sec_chip"] = samples_per_sec
 
-    # Secondary: full 3x9 fusion (27-view scene per sample). Power-of-two slot
-    # buckets: sum_j bucket(j) = 441 slot-rasters uncapped, 187 with the K=8
-    # nearest-view cap; each cond view adds two dispatch floors.
+    # Secondary: full 3x9 fusion (27-view scene per sample). Slot-raster
+    # counts follow the pipeline's bucketing exactly (pipeline._slot_bucket;
+    # mult4 default: 390 uncapped, 192 with the K=8 nearest-view cap); each
+    # cond view adds two dispatch floors.
+    from ivid_tpu.inference.pipeline import _slot_bucket
+
+    def n_slots(cap):
+        return sum(
+            cap if (cap is not None and j > cap) else _slot_bucket(j, 27)
+            for j in range(1, 27)
+        )
+
     def t_3x9(slot_rasters):
         return (
             1000 * t_step
@@ -191,8 +200,8 @@ def main():
             + slot_rasters * batch * t_agg_slot
         )
 
-    results["full_3x9_scenes_per_sec"] = batch / t_3x9(187)
-    results["full_3x9_scenes_per_sec_uncapped"] = batch / t_3x9(441)
+    results["full_3x9_scenes_per_sec"] = batch / t_3x9(n_slots(8))
+    results["full_3x9_scenes_per_sec_uncapped"] = batch / t_3x9(n_slots(None))
 
     # SR cascade step (secondary metric; reference: configs/*_sr.json,
     # diffusion/trainers/superres.py:124 — 50-step guided DDIM at 256²).

@@ -14,13 +14,12 @@ persists this cursor in its misc checkpoint (the reference restarts its
 dataloader from scratch on resume and silently replays data,
 basic.py:196-228; exact-resume is a deliberate improvement).
 
-Known multi-process limitation: with ``num_shards > 1`` each process yields
-FULL ``batch_size`` batches from its own shard, of which the trainer's
-``device_put`` consumes only the process's 1/num_shards row slice — data
-stays disjoint and correct, but each process loads num_shards x more items
-than used. The clean fix is per-process local batches assembled with
-``jax.make_array_from_process_local_data``; deferred until a multi-host
-environment exists to validate it (single-host runs have num_shards == 1)."""
+Multi-process semantics: ``batch_size`` is the GLOBAL batch. Every process
+cuts the same ``seed + epoch`` permutation into global batches, then loads
+only its own ``batch_size / num_shards`` row block — so each process fetches
+exactly the items it will contribute, and the trainer assembles the global
+device array with ``jax.make_array_from_process_local_data``. (Round 2
+over-fetched ``num_shards×`` by loading full global batches per process.)"""
 
 from __future__ import annotations
 
@@ -53,18 +52,31 @@ class DataLoader:
         self.shard_index = shard_index
         self.num_shards = num_shards
         self.prefetch = max(1, prefetch)
+        assert batch_size % num_shards == 0, (
+            f"global batch {batch_size} not divisible by {num_shards} shards"
+        )
+        #: rows this process loads and yields per global batch.
+        self.local_batch_size = batch_size // num_shards
         #: (epoch, batch) cursor of the next batch to be yielded; updated as
         #: batches are CONSUMED (not prefetched), so it is always safe to save.
         self.position = tuple(start)
+        #: total items fetched from the dataset (observability/tests).
+        self.items_loaded = 0
 
     def _epoch_indices(self, epoch: int) -> np.ndarray:
+        """This process's item indices per global batch: [n_batches, local_bs].
+
+        Every process computes the SAME global permutation and batch cut, then
+        keeps its contiguous row block — the block this process's addressable
+        devices own under the trainer's batch sharding."""
         n = len(self.dataset)
         idx = np.arange(n)
         if self.shuffle:
             idx = np.random.default_rng(self.seed + epoch).permutation(n)
-        idx = idx[self.shard_index :: self.num_shards]
-        usable = (len(idx) // self.batch_size) * self.batch_size
-        return idx[:usable].reshape(-1, self.batch_size)
+        usable = (n // self.batch_size) * self.batch_size
+        batches = idx[:usable].reshape(-1, self.batch_size)
+        lo = self.shard_index * self.local_batch_size
+        return batches[:, lo : lo + self.local_batch_size]
 
     def _collate(self, items) -> Dict[str, np.ndarray]:
         keys = items[0].keys()
@@ -79,9 +91,8 @@ class DataLoader:
                 # Without this, the while-loop would spin forever recomputing
                 # empty permutations and next() would hang at 100% CPU.
                 raise ValueError(
-                    f"shard {self.shard_index}/{self.num_shards} of dataset "
-                    f"(len {len(self.dataset)}) yields zero full batches of "
-                    f"size {self.batch_size}"
+                    f"dataset (len {len(self.dataset)}) yields zero full "
+                    f"global batches of size {self.batch_size}"
                 )
             for b in range(batch0, len(batches)):
                 nxt = (epoch, b + 1) if b + 1 < len(batches) else (epoch + 1, 0)
@@ -100,6 +111,7 @@ class DataLoader:
         def submit_next():
             nxt, batch_idx = next(cursors)
             futs = [pool.submit(self.dataset.__getitem__, int(i)) for i in batch_idx]
+            self.items_loaded += len(batch_idx)
             pending.append((nxt, futs))
 
         try:

@@ -51,10 +51,27 @@ class SceneState:
 
 
 def _slot_bucket(count: int, max_views: int) -> int:
-    """Smallest power-of-two slot count covering ``count`` live views."""
-    b = 1
-    while b < count:
-        b *= 2
+    """Slot-count bucket covering ``count`` live views.
+
+    Buckets trade compiled program count against padded slot work (invalid
+    slots raster at full cost). ``IVID_TPU_SLOT_BUCKETS``:
+
+    - ``mult4`` (default): multiples of 4 — 7 programs, Σ=390 slot-rasters
+      over an uncapped 3x9 sequence (pow2's 6 programs cost Σ=441; exact's
+      26 programs cost Σ=351 but each costs minutes of remote compile).
+    - ``pow2``: round-2 behavior.  - ``exact``: no padding.
+    """
+    import os
+
+    mode = os.environ.get("IVID_TPU_SLOT_BUCKETS", "mult4")
+    if mode == "exact":
+        return min(count, max_views)
+    if mode == "mult4":
+        b = max(4, -4 * (-count // 4))
+    else:
+        b = 1
+        while b < count:
+            b *= 2
     return min(b, max_views)
 
 

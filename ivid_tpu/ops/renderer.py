@@ -33,7 +33,34 @@ import numpy as np
 
 from ivid_tpu.ops import camera as cam
 from ivid_tpu.ops import raster
+from ivid_tpu.ops import raster_dense
 from ivid_tpu.ops.geometry import Mesh
+
+
+def _skirt_mode() -> str:
+    """``dense`` (default): exact per-pixel raster of the ~1k skirt triangles
+    (ops/raster_dense) — removes ~340k lattice fragments (40% of the slot
+    raster bill: sort, depth-test chunks, fragment-gen einsums) AND upgrades
+    skirt coverage from lattice sampling to exact pixel-center tests.
+    ``lattice``: the round-2 dense-quad-lattice sampler (A/B fallback)."""
+    import os
+
+    v = os.environ.get("IVID_TPU_SKIRT", "dense")
+    assert v in ("dense", "lattice"), v
+    return v
+
+
+def _ring_face_split(grid_size: int):
+    """Static face-index split: (interior_faces, ring_faces). Face ``2k``/
+    ``2k+1`` triangulate grid cell ``k`` (geometry.triangulate ordering)."""
+    n = grid_size - 1
+    i, j = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    ring = (i == 0) | (i == n - 1) | (j == 0) | (j == n - 1)
+    cells = np.arange(n * n)
+    ring_cells = cells[ring.reshape(-1)]
+    int_cells = cells[~ring.reshape(-1)]
+    expand = lambda c: np.stack([2 * c, 2 * c + 1], -1).reshape(-1)
+    return expand(int_cells), expand(ring_cells)
 
 
 def _texture_nearest(color: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
@@ -129,10 +156,23 @@ def _raster_mesh(
     skirt_level: int,
     has_skirt: bool,
 ):
-    """Rasterize one mesh, returning fragment batches (interior [+ skirt])."""
+    """Rasterize one mesh: fragment batches plus (dense mode) the skirt
+    triangle set for the per-pixel pass. Returns ``(frags, skirt)`` where
+    ``skirt`` is ``None`` (no skirt / lattice mode handles it in ``frags``)
+    or ``(win, w, skirt_faces)``."""
     mvp = projection @ modelview
     win, w = raster.project_vertices(mesh.positions, mvp, render_size)
     grid_size = int(round(np.sqrt(mesh.positions.shape[0])))
+
+    if has_skirt and _skirt_mode() == "dense":
+        int_idx, ring_idx = _ring_face_split(grid_size)
+        frags = [
+            raster.generate_fragments(
+                win, w, vertex_attrs, mesh.faces[jnp.asarray(int_idx)],
+                render_size, interior_level,
+            )
+        ]
+        return frags, (win, w, mesh.faces[jnp.asarray(ring_idx)])
 
     frags = [
         raster.generate_fragments(
@@ -156,7 +196,7 @@ def _raster_mesh(
                     win, w, vertex_attrs, grid_size, render_size, mask, li, lj
                 )
             )
-    return frags
+    return frags, None
 
 
 def render_simple(
@@ -176,7 +216,7 @@ def render_simple(
     linearized with THIS renderer's near/far, ``mask`` [R,R,1] bool."""
     flags = _unpacked_flags(mesh.flag)
     attrs = jnp.concatenate([mesh.uv, flags[:, :1]], axis=-1)  # uv, edge
-    frags = _raster_mesh(
+    frags, skirt = _raster_mesh(
         mesh, attrs, modelview, cam.perspective(fov, 1.0, near, far),
         render_size, interior_level, skirt_level, has_skirt,
     )
@@ -198,6 +238,20 @@ def render_simple(
         )
 
     payload, depth_win, covered = raster.resolve_zbuffer(frags, payloads, render_size)
+    if skirt is not None:
+        sk = raster_dense.rasterize_tris_dense(
+            skirt[0], skirt[1], attrs, skirt[2], render_size
+        )
+        sk_alpha = jnp.where(
+            sk.front & (sk.attrs[:, 2] <= 0.999), 1.0, 0.0
+        )
+        sk_payload = jnp.concatenate(
+            [sk.attrs[:, 0:2], sk_alpha[:, None],
+             sk.front.astype(jnp.float32)[:, None]], axis=-1,
+        )
+        payload, depth_win, covered = raster_dense.merge_dense(
+            payload, depth_win, covered, sk_payload, sk, render_size
+        )
     del covered
     front_mask = payload[..., 3:4] > 0.5
     rgb = _texture_nearest(color, payload[..., 0:2]) * front_mask
@@ -243,23 +297,27 @@ def _aggregation_view_buffers(
     attrs = jnp.concatenate(
         [mesh.uv, flags, wgt_vertex[:, None]], axis=-1
     )  # uv(2) edge/pad/eroded(3) weight(1)
-    frags = _raster_mesh(
+    frags, skirt = _raster_mesh(
         mesh, attrs, modelview, projection, render_size,
         interior_level, skirt_level, has_skirt,
     )
+
+    def agg_alpha(edge, padding, eroded, wgt_raw, front):
+        """Aggregation fragment-shader weighting (aggregation.fsh:28-49)."""
+        wgt = jnp.maximum(wgt_raw, 1e-4)
+        wgt = jnp.where(eroded >= 0.999, wgt * 1e-8, wgt)
+        wgt = jnp.where((padding > 0.001) | (edge > 0.999), 1e-16, wgt)
+        wgt = jnp.maximum(wgt, 1e-16)
+        # Backfaces (when not discarded) write depth with zero weight
+        # (aggregation.fsh:22-26).
+        return jnp.where(front, wgt, 0.0)
 
     payloads = []
     new_frags = []
     for f in frags:
         edge, padding, eroded = f.attrs[:, 2], f.attrs[:, 3], f.attrs[:, 4]
-        wgt = jnp.maximum(f.attrs[:, 5], 1e-4)
-        wgt = jnp.where(eroded >= 0.999, wgt * 1e-8, wgt)
-        wgt = jnp.where((padding > 0.001) | (edge > 0.999), 1e-16, wgt)
-        wgt = jnp.maximum(wgt, 1e-16)
-
-        # Backface: padding fragments discard (no depth write); others write
-        # depth with zero weight (aggregation.fsh:22-26).
-        alpha = jnp.where(f.front, wgt, 0.0)
+        alpha = agg_alpha(edge, padding, eroded, f.attrs[:, 5], f.front)
+        # Backface padding fragments discard entirely (no depth write).
         discard = (~f.front) & (padding > 0.001)
         new_frags.append(f._replace(valid=f.valid & ~discard))
         payloads.append(
@@ -267,6 +325,23 @@ def _aggregation_view_buffers(
         )
 
     payload, depth_win, covered = raster.resolve_zbuffer(new_frags, payloads, render_size)
+    if skirt is not None:
+        # discard_attr=3: the interpolated padding channel drives the
+        # backface-padding discard inside the per-pixel z-test.
+        sk = raster_dense.rasterize_tris_dense(
+            skirt[0], skirt[1], attrs, skirt[2], render_size, discard_attr=3
+        )
+        sk_alpha = agg_alpha(
+            sk.attrs[:, 2], sk.attrs[:, 3], sk.attrs[:, 4], sk.attrs[:, 5],
+            sk.front,
+        )
+        sk_alpha = jnp.where(sk.covered, sk_alpha, 0.0)
+        sk_payload = jnp.concatenate(
+            [sk.attrs[:, 0:2], sk_alpha[:, None]], axis=-1
+        )
+        payload, depth_win, covered = raster_dense.merge_dense(
+            payload, depth_win, covered, sk_payload, sk, render_size
+        )
     rgb = _texture_nearest(color, payload[..., 0:2]) * covered[..., None]
     return rgb, payload[..., 2], depth_win
 

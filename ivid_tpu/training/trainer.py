@@ -316,6 +316,20 @@ class BasicTrainer:
         items = [self.dataset[int(i)] for i in idx]
         return {k: np.stack([it[k] for it in items]) for k in items[0]}
 
+    def _replicated_batch(self, batch: dict) -> dict:
+        """Lift a host batch (identical on every process) to globally-replicated
+        device arrays, so sampling programs can run collectively over the
+        global mesh in multi-controller runs."""
+        if jax.process_count() == 1:
+            return {k: jnp.asarray(v) for k, v in batch.items()}
+        rep = replicated(self.mesh)
+        return {
+            k: jax.make_array_from_callback(
+                np.shape(v), rep, lambda idx, a=np.asarray(v): a[idx]
+            )
+            for k, v in batch.items()
+        }
+
     def sample(self, suffix: Optional[str] = None, num_samples: int = 25, batch_size: int = 25):
         if suffix is None:
             suffix = f"step{self.step:07d}"
@@ -334,7 +348,8 @@ class BasicTrainer:
                 cond, guidance = None, 0.0
             out = samplers.ddim_sample(
                 self.framework, self.params, rng,
-                num=b, image_size=s, cond=cond, guidance=guidance, steps=250,
+                num=b, image_size=s, cond=cond, guidance=guidance,
+                steps=min(250, self.framework.schedule.timesteps),
             )
             outs.append(_host_array(out["samples"]))
         if jax.process_index() != 0:
@@ -353,14 +368,28 @@ class BasicTrainer:
 
     # ---- the loop (reference: basic.py:338-453) ----
 
-    def run_step(self):
-        batch = next(self.loader)
-        device_batch = {
-            k: jax.device_put(
-                v, batch_sharding(self.mesh, np.ndim(v))
+    def _global_batch(self, batch: dict) -> dict:
+        """Assemble the globally-sharded device batch from this process's
+        local rows. The loader yields only the ``batch_size/process_count``
+        block this process contributes (reference DistributedSampler semantics,
+        basic.py:140-154), so multi-host assembly must go through
+        ``make_array_from_process_local_data`` — a plain device_put would
+        reinterpret the local block as the whole global batch."""
+        if jax.process_count() == 1:
+            return {
+                k: jax.device_put(v, batch_sharding(self.mesh, np.ndim(v)))
+                for k, v in batch.items()
+            }
+        return {
+            k: jax.make_array_from_process_local_data(
+                batch_sharding(self.mesh, np.ndim(v)), np.asarray(v)
             )
             for k, v in batch.items()
         }
+
+    def run_step(self):
+        batch = next(self.loader)
+        device_batch = self._global_batch(batch)
         self.rng, step_rng = jax.random.split(self.rng)
         self.params, self.opt_state, self.ema_params, metrics = self._step_fn(
             self.params, self.opt_state, self.ema_params, step_rng, device_batch
@@ -551,16 +580,16 @@ class InpaintTrainer(FinetuneMixin, BasicTrainer):
     def sample(self, suffix: Optional[str] = None, num_samples: int = 25, batch_size: int = 25):
         """Conditional sampling visualization (reference: inpaint.py:96-137).
 
-        Skipped in multi-process runs: it mixes PER-PROCESS host batches with
-        the globally-sharded params, which multi-controller JAX cannot
-        express in one program (the uncond visualization in BasicTrainer
-        remains collective-safe and still runs)."""
-        if jax.process_count() > 1:
-            return
+        Collective: every process enters. ``_visualization_batch`` is
+        deterministic in ``step``, so all processes build the SAME host batch;
+        it is lifted to globally-replicated arrays, warp + sampling run as
+        lockstep programs over the global mesh, and only the master writes
+        files (the reference saves rank-0 grids under DDP,
+        inpaint.py:96-137)."""
         if suffix is None:
             suffix = f"step{self.step:07d}"
         batch = self._visualization_batch(num_samples)
-        device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        device_batch = self._replicated_batch(batch)
         rng = jax.random.fold_in(self.rng, 20_000 + self.step)
         if not hasattr(self, "_prepare_batch_jit"):
             # Jitted once: a fresh jax.jit wrapper per call would re-trace the
@@ -571,21 +600,24 @@ class InpaintTrainer(FinetuneMixin, BasicTrainer):
         out = samplers.ddim_sample(
             self.framework, self.params, rng,
             num=num_samples, image_size=self.dataset.image_size,
-            cond=cond, guidance=guidance, steps=250,
+            cond=cond, guidance=guidance,
+            steps=min(250, self.framework.schedule.timesteps),
         )
-        imgs = np.asarray(out["samples"])
+        imgs = _host_array(out["samples"])
+        if jax.process_index() != 0:
+            return  # computation above was collective; file IO is master-only
         nrow = int(np.sqrt(num_samples))
         d = os.path.join(self.output_dir, "samples")
         g = partial(save_image_grid, nrow=nrow)
-        g(os.path.join(d, f"mask_{suffix}.png"), np.asarray(cond["mask"]), value_range=(0, 1))
-        g(os.path.join(d, f"rgb_gt_{suffix}.png"), np.asarray(device_batch["x_0"])[..., :3])
-        g(os.path.join(d, f"rgb_cond_{suffix}.png"), np.asarray(cond["y"])[..., :3])
+        g(os.path.join(d, f"mask_{suffix}.png"), _host_array(cond["mask"]), value_range=(0, 1))
+        g(os.path.join(d, f"rgb_gt_{suffix}.png"), np.asarray(batch["x_0"])[..., :3])
+        g(os.path.join(d, f"rgb_cond_{suffix}.png"), _host_array(cond["y"])[..., :3])
         g(os.path.join(d, f"rgb_{suffix}.png"), imgs[..., :3])
-        g(os.path.join(d, f"depth_gt_{suffix}.png"), np.asarray(device_batch["x_0"])[..., 3:])
-        g(os.path.join(d, f"depth_cond_{suffix}.png"), np.asarray(cond["y"])[..., 3:])
+        g(os.path.join(d, f"depth_gt_{suffix}.png"), np.asarray(batch["x_0"])[..., 3:])
+        g(os.path.join(d, f"depth_cond_{suffix}.png"), _host_array(cond["y"])[..., 3:])
         g(os.path.join(d, f"depth_{suffix}.png"), imgs[..., 3:])
         if "mask_rgb" in cond:
-            g(os.path.join(d, f"mask_rgb_{suffix}.png"), np.asarray(cond["mask_rgb"]), value_range=(0, 1))
+            g(os.path.join(d, f"mask_rgb_{suffix}.png"), _host_array(cond["mask_rgb"]), value_range=(0, 1))
 
 
 class SuperResTrainer(FinetuneMixin, BasicTrainer):
@@ -599,22 +631,25 @@ class SuperResTrainer(FinetuneMixin, BasicTrainer):
             self.finetune_from(finetune_ckpt)
 
     def sample(self, suffix: Optional[str] = None, num_samples: int = 9, batch_size: int = 9):
-        """(reference: superres.py:96-134) — 50 DDIM steps. See
-        InpaintTrainer.sample for the multi-process skip rationale."""
-        if jax.process_count() > 1:
-            return
+        """(reference: superres.py:96-134) — 50 DDIM steps. Collective like
+        InpaintTrainer.sample: all processes enter, master writes."""
         if suffix is None:
             suffix = f"step{self.step:07d}"
         batch = self._visualization_batch(num_samples)
-        cond = {k: jnp.asarray(v) for k, v in batch.items() if k != "x_0"}
+        cond = self._replicated_batch(
+            {k: v for k, v in batch.items() if k != "x_0"}
+        )
         rng = jax.random.fold_in(self.rng, 30_000 + self.step)
         guidance = 3.0 if self.model.num_classes else 0.0
         out = samplers.ddim_sample(
             self.framework, self.params, rng,
             num=num_samples, image_size=self.dataset.image_size,
-            cond=cond, guidance=guidance, steps=50,
+            cond=cond, guidance=guidance,
+            steps=min(50, self.framework.schedule.timesteps),
         )
-        imgs = np.asarray(out["samples"])
+        imgs = _host_array(out["samples"])
+        if jax.process_index() != 0:
+            return  # computation above was collective; file IO is master-only
         nrow = int(np.sqrt(num_samples))
         d = os.path.join(self.output_dir, "samples")
         g = partial(save_image_grid, nrow=nrow)

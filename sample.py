@@ -46,8 +46,12 @@ def parse_args():
     p.add_argument(
         "--max_agg_views", type=int, default=None,
         help="Aggregate only the K angularly-nearest prior views per novel "
-             "view (default: all, reference-exact). 8 is visually "
-             "indistinguishable on 3x9 and ~2.4x faster",
+             "view (default: all, reference-exact). LOSSY speed knob: depth "
+             "aggregates with binary per-view weights (aggregation.csh:19), "
+             "so dropped views change the depth/mask conditioning — measured "
+             "at 128² on a consistent synthetic 3x9 scene, K=8 flips 27%% of "
+             "mask px (color mean|Δ| 0.10); K=16 flips 5%% (0.026). Exact "
+             "only when K >= live views (tests/test_kcap_bound.py)",
     )
     return p.parse_args()
 

@@ -34,10 +34,16 @@ def test_loader_sharding_disjoint():
                        normalize_depth=True, prepocess_depth="z_buffer")
     l0 = DataLoader(ds, batch_size=4, shuffle=False, shard_index=0, num_shards=2)
     l1 = DataLoader(ds, batch_size=4, shuffle=False, shard_index=1, num_shards=2)
-    i0 = set(l0._epoch_indices(0).reshape(-1).tolist())
-    i1 = set(l1._epoch_indices(0).reshape(-1).tolist())
+    b0 = l0._epoch_indices(0)
+    b1 = l1._epoch_indices(0)
+    # batch_size is GLOBAL: each shard loads only its local row block.
+    assert b0.shape == b1.shape == (16, 2)
+    i0 = set(b0.reshape(-1).tolist())
+    i1 = set(b1.reshape(-1).tolist())
     assert not (i0 & i1)
     assert len(i0) == len(i1) == 32
+    # Together the shards reconstruct every global batch exactly.
+    assert np.array_equal(np.concatenate([b0, b1], axis=1).reshape(-1), np.arange(64))
 
 
 def test_sr_dataset():

@@ -46,10 +46,17 @@ def _make_pipeline(steps_uncond=5, steps_cond=4):
     return pipe, pu, pc
 
 
-def test_slot_bucket():
+def test_slot_bucket(monkeypatch):
+    # mult4 default: 7 compiled shapes, Σ=390 uncapped slot-rasters on 3x9.
+    assert [_slot_bucket(i, 27) for i in [1, 2, 3, 4, 5, 9, 17, 26]] == [
+        4, 4, 4, 4, 8, 12, 20, 27,
+    ]
+    monkeypatch.setenv("IVID_TPU_SLOT_BUCKETS", "pow2")
     assert [_slot_bucket(i, 27) for i in [1, 2, 3, 4, 5, 9, 17, 26]] == [
         1, 2, 4, 4, 8, 16, 27, 27,
     ]
+    monkeypatch.setenv("IVID_TPU_SLOT_BUCKETS", "exact")
+    assert [_slot_bucket(i, 27) for i in [1, 5, 26]] == [1, 5, 26]
 
 
 def test_pipeline_multiview(tmp_path):

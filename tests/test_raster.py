@@ -294,3 +294,42 @@ def test_interior_lattice_covers_ssaa():
         )
         m = np.asarray(res["mask"])[8:-8, 8:-8]
         assert m.mean() == 1.0, f"holes at ssaa={ssaa}: {m.mean():.3f}"
+
+
+def test_skirt_dense_matches_lattice(monkeypatch):
+    """The dense per-pixel skirt pass must agree with the round-2 quad-lattice
+    sampler wherever the lattice had coverage (dense is the exact pixel-center
+    raster; the lattice under-covers stretched quads, so dense may add pixels
+    but mask disagreement must stay small and valued outputs must match)."""
+    s = 32
+    rgbd = _checker_rgbd(s)
+    mv0 = warp.default_modelview()
+    target = cam.orbit_modelview(0.35, 0.12)
+    mesh = geom.depth_to_mesh(
+        geom.linearize_depth(rgbd[..., 3:], 0.5, 100.0),
+        padding="frustum", fov=45.0, modelview=mv0,
+        atol=0.03, rtol=0.03, erode_rgb=3, cal_normal=True,
+    )
+    meshes = rend.stack_meshes([mesh])
+    colors = rgbd[None, ..., :3]
+    valid = jnp.array([True])
+
+    def run():
+        return jax.device_get(warp.aggregate_conditions(
+            meshes, colors, valid, target, fov=45.0, near=0.5, far=100.0,
+            atol=0.03, rtol=0.03, erode_rgb=3,
+        ))
+
+    monkeypatch.setenv("IVID_TPU_SKIRT", "dense")
+    dense = run()
+    monkeypatch.setenv("IVID_TPU_SKIRT", "lattice")
+    lattice = run()
+
+    npix = s * s
+    for key in ["mask", "mask_rgb"]:
+        flip = np.abs(np.asarray(dense[key]) - np.asarray(lattice[key]))
+        assert flip.mean() < 0.04, (key, flip.mean())
+    both = (np.asarray(dense["mask"]) * np.asarray(lattice["mask"]))[..., 0] > 0
+    for key in ["color", "depth"]:
+        d = np.abs(np.asarray(dense[key]) - np.asarray(lattice[key]))
+        assert d[both].mean() < 0.02, (key, d[both].mean())

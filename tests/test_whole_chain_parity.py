@@ -1,0 +1,327 @@
+"""Whole-chain statistical parity gate: reference torch pipeline vs JAX pipeline.
+
+The north star's second axis is "FID within 2% of the PyTorch pipeline"
+(BASELINE.json). Actual pretrained-weight FID is env-blocked (no weights, no
+dataset, no egress), so THIS is the closest achievable proxy: push the SAME
+converted weights through the live reference chain
+(reference: inference/sample.py:29-147 — ClassifierFreeGuidance + DdpmSampler /
+DdimSampler, InpaintCFG + guided DdimSampler, diffusion/samplers/ddim.py:81-103)
+and through the JAX chain for N=64 samples, then assert:
+
+1. deterministic-leg exactness — CFG DDIM (eta=0) with MATCHED initial noise is
+   deterministic end to end, so outputs must agree sample-for-sample;
+2. distribution-level agreement — DDPM (per-step noise) and the InpaintCFG cond
+   chain (fresh packing noise per model call, inpaint_cfg.py:24-49) are
+   stochastic with incompatible RNG streams (torch Philox vs JAX threefry), so
+   the gate is feature-statistical: randconv-FID between the two sets must not
+   exceed the same-chain split-half FID (the sampling-noise floor at this N),
+   and feature means must agree within the null scale.
+
+The null calibration makes the gate threshold-free: cross-set FID at 64v64
+carries about HALF the estimator bias of the 32v32 split-half nulls, so
+"cross <= max(nulls)" holds with ~2x headroom when the distributions match and
+fails loudly when a chain component diverges (wrong schedule table, guidance
+composition, packing order, edit weights...).
+
+Weights: a real reference AdmUnet2d with its zero-initialized output convs
+re-randomized — a zero-output model samples pure scaled noise, which would let
+a broken chain pass the statistical gate trivially.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ivid_tpu.diffusion import samplers
+from ivid_tpu.diffusion.frameworks import build_framework
+from ivid_tpu.diffusion.samplers import PredX0Edits
+from ivid_tpu.evals.metrics import (
+    feature_statistics,
+    frechet_distance,
+    get_extractor,
+)
+from ivid_tpu.models import build_adm_unet
+from ivid_tpu.models.torch_compat import torch_state_dict_to_flax
+
+from ref_loader import HAVE_REFERENCE, import_reference
+
+pytestmark = pytest.mark.skipif(
+    not HAVE_REFERENCE, reason="reference checkout not available"
+)
+
+N = 64  # samples per chain; the FID null calibration assumes a 32/32 split
+T = 100  # diffusion timesteps
+GUIDANCE = 0.5  # the eval-protocol strength (reference: README.md:90)
+SIZE = 32
+NUM_CLASSES = 5
+
+CFG = dict(
+    image_size=SIZE,
+    in_channels=4,
+    out_channels=4,
+    model_channels=32,
+    num_res_blocks=1,
+    channel_mult=(1, 2),
+    attention_resolutions=(16,),
+    num_groups=8,
+    num_heads=None,
+    num_head_channels=16,
+    num_classes=NUM_CLASSES,
+    has_null_class=True,
+    dropout=0.0,
+    use_fp16=False,
+)
+
+
+def _build_pair(in_channels: int, seed: int):
+    """One reference torch UNet + the converted flax params.
+
+    Zero-initialized output modules (backbones/utils.py zero_module) are
+    re-randomized so the chain produces structured, weight-dependent samples."""
+    import torch
+
+    ref = import_reference()
+    cfg = dict(CFG, in_channels=in_channels)
+    torch.manual_seed(seed)
+    tm = ref.backbones.AdmUnet2d(
+        image_size=cfg["image_size"],
+        in_channels=cfg["in_channels"],
+        model_channels=cfg["model_channels"],
+        out_channels=cfg["out_channels"],
+        num_res_blocks=cfg["num_res_blocks"],
+        attention_resolutions=cfg["attention_resolutions"],
+        dropout=0.0,
+        channel_mult=cfg["channel_mult"],
+        num_classes=cfg["num_classes"],
+        has_null_class=cfg["has_null_class"],
+        use_fp16=False,
+        num_groups=cfg["num_groups"],
+        num_heads=1,
+        num_head_channels=cfg["num_head_channels"],
+    )
+    with torch.no_grad():
+        gen = torch.Generator().manual_seed(seed + 1)
+        for p in tm.parameters():
+            if p.ndim >= 2 and float(p.abs().sum()) == 0.0:
+                p.normal_(0.0, 0.05, generator=gen)
+    tm.eval()
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items() if "freqs" not in k}
+    params = torch_state_dict_to_flax(sd, **{
+        k: cfg[k] for k in [
+            "image_size", "model_channels", "num_res_blocks", "channel_mult",
+            "attention_resolutions", "num_classes",
+        ]
+    })
+    return ref, tm, build_adm_unet(cfg), params
+
+
+def _nchw(x):
+    import torch
+
+    return torch.from_numpy(np.transpose(np.asarray(x, np.float32), (0, 3, 1, 2)))
+
+
+def _nhwc(t):
+    return np.transpose(t.detach().cpu().numpy(), (0, 2, 3, 1))
+
+
+def _to_rgb01(samples_nhwc: np.ndarray) -> np.ndarray:
+    return np.clip(samples_nhwc[..., :3] * 0.5 + 0.5, 0.0, 1.0).astype(np.float32)
+
+
+def _stat_gate(ref_imgs: np.ndarray, jax_imgs: np.ndarray, label: str):
+    """Feature-statistic agreement with split-half null calibration."""
+    ext = get_extractor("randconv", image_size=ref_imgs.shape[1])
+    f_ref, _ = ext(ref_imgs)
+    f_jax, _ = ext(jax_imgs)
+
+    def fid(a, b):
+        return frechet_distance(*feature_statistics(a), *feature_statistics(b))
+
+    cross = fid(f_ref, f_jax)
+    null_ref = fid(f_ref[: N // 2], f_ref[N // 2:])
+    null_jax = fid(f_jax[: N // 2], f_jax[N // 2:])
+    null = max(null_ref, null_jax)
+    mu_gap = float(np.linalg.norm(f_ref.mean(0) - f_jax.mean(0)))
+    mu_null = float(np.linalg.norm(
+        f_ref[: N // 2].mean(0) - f_ref[N // 2:].mean(0)
+    ))
+    print(
+        f"[{label}] cross-FID {cross:.4g} | nulls ref {null_ref:.4g} "
+        f"jax {null_jax:.4g} | mean-gap {mu_gap:.4g} (null {mu_null:.4g})"
+    )
+    # 64v64 cross-FID carries ~half the 32v32 bias: <= max(null) is ~2x slack.
+    assert cross <= null, (
+        f"{label}: cross-chain FID {cross:.4g} exceeds the same-chain "
+        f"sampling-noise floor {null:.4g} — the distributions differ"
+    )
+    assert mu_gap <= 1.5 * mu_null, (
+        f"{label}: feature-mean gap {mu_gap:.4g} vs null {mu_null:.4g}"
+    )
+
+
+@pytest.fixture(scope="module")
+def uncond_pair():
+    ref, tm, jm, params = _build_pair(in_channels=4, seed=0)
+    rfw = ref.frameworks.ClassifierFreeGuidance(
+        tm, p_uncond=0.1, timesteps=T, beta_schedule="linear"
+    )
+    jfw = build_framework(
+        "ClassifierFreeGuidance", jm,
+        {"timesteps": T, "beta_schedule": "linear", "p_uncond": 0.1},
+    )
+    return ref, rfw, jfw, params
+
+
+def test_uncond_ddim_matched_noise(uncond_pair):
+    """CFG DDIM chain, matched x_T: deterministic — outputs agree per-sample
+    (reference: inference/sample.py:79-81 with steps_uncond < 1000)."""
+    ref, rfw, jfw, params = uncond_pair
+    rng = np.random.default_rng(0)
+    noise = rng.normal(size=(N, SIZE, SIZE, 4)).astype(np.float32)
+    classes = rng.integers(0, NUM_CLASSES, size=(N,))
+
+    rs = ref.samplers.DdimSampler(rfw)
+    import torch
+
+    with torch.no_grad():
+        rout = rs.sample(
+            N, noise=_nchw(noise), classes=torch.from_numpy(classes).long(),
+            steps=10, strength=GUIDANCE, verbose=False,
+        )
+    ref_final = _nhwc(rout.samples)
+
+    jout = samplers.ddim_sample(
+        jfw, params, jax.random.PRNGKey(0), noise=jnp.asarray(noise),
+        cond={"classes": jnp.asarray(classes, jnp.int32)},
+        guidance=GUIDANCE, steps=10,
+    )
+    jax_final = np.asarray(jout["samples"])
+
+    rel = np.linalg.norm(jax_final - ref_final) / np.linalg.norm(ref_final)
+    print(f"[uncond-ddim] rel-L2 {rel:.3e} | ref std {ref_final.std():.3f}")
+    assert rel < 1e-2, f"matched-noise DDIM chains diverged: rel-L2 {rel:.3e}"
+    # The same sample sets must also pass the statistical gate (sanity for the
+    # gate itself: identical distributions => cross-FID far below the null).
+    _stat_gate(_to_rgb01(ref_final), _to_rgb01(jax_final), "uncond-ddim")
+
+
+def test_uncond_ddpm_statistical(uncond_pair):
+    """Full-T ancestral chain with each side's own RNG: distribution gate
+    (reference: inference/sample.py:47 DdpmSampler for steps_uncond=1000)."""
+    ref, rfw, jfw, params = uncond_pair
+    import torch
+
+    classes = np.random.default_rng(1).integers(0, NUM_CLASSES, size=(N,))
+    rs = ref.samplers.DdpmSampler(rfw)
+    torch.manual_seed(123)
+    with torch.no_grad():
+        rout = rs.sample(
+            N, image_size=SIZE, classes=torch.from_numpy(classes).long(),
+            strength=GUIDANCE, verbose=False,
+        )
+    ref_final = _nhwc(rout.samples)
+
+    jout = samplers.ddpm_sample(
+        jfw, params, jax.random.PRNGKey(123), num=N, image_size=SIZE,
+        cond={"classes": jnp.asarray(classes, jnp.int32)}, guidance=GUIDANCE,
+    )
+    jax_final = np.asarray(jout["samples"])
+    assert np.isfinite(jax_final).all() and np.isfinite(ref_final).all()
+    _stat_gate(_to_rgb01(ref_final), _to_rgb01(jax_final), "uncond-ddpm")
+
+
+def _synthetic_conditions(n: int, size: int):
+    """Pre-rendered-style conditioning inputs, identical for both chains
+    (stands in for aggregate_conditions outputs, rgbd_3d/utils.py:420-477,
+    whose GL renderer is unavailable here). color/depth in [0,1], binary
+    masks, depth_convex >= depth."""
+    rng = np.random.default_rng(7)
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
+    color = np.zeros((n, size, size, 3), np.float32)
+    depth = np.zeros((n, size, size, 1), np.float32)
+    mask = np.zeros((n, size, size, 1), np.float32)
+    mask_rgb = np.zeros((n, size, size, 1), np.float32)
+    for i in range(n):
+        a, b, c = rng.uniform(1, 4, size=3)
+        color[i, ..., 0] = 0.5 + 0.5 * np.sin(a * 6 * yy + b)
+        color[i, ..., 1] = 0.5 + 0.5 * np.cos(b * 5 * xx)
+        color[i, ..., 2] = np.clip(yy * xx * c, 0, 1)
+        depth[i, ..., 0] = 0.3 + 0.4 * (np.sin(c * 3 * (yy + xx)) * 0.5 + 0.5)
+        cy, cx = rng.uniform(0.3, 0.7, size=2)
+        r = rng.uniform(0.2, 0.45)
+        m = ((yy - cy) ** 2 + (xx - cx) ** 2) < r ** 2
+        mask[i, ..., 0] = m.astype(np.float32)
+        r2 = max(r - 0.08, 0.05)
+        mask_rgb[i, ..., 0] = (
+            ((yy - cy) ** 2 + (xx - cx) ** 2) < r2 ** 2
+        ).astype(np.float32)
+    depth_convex = np.clip(depth + 0.05, 0, 1)
+    return color, depth, mask, mask_rgb, depth_convex
+
+
+def test_cond_inpaint_chain_statistical():
+    """InpaintCFG guided-DDIM chain on shared pre-rendered conditions
+    (reference: inference/sample.py:100-124 — y/mask/mask_rgb packing plus
+    replace_rgb 0.1 / replace_depth 0.2 / constrain_depth 0.5 edits).
+    make_cond_inputs draws fresh noise per model call (inpaint_cfg.py:24-49),
+    so the gate is statistical."""
+    import torch
+
+    ref, tm, jm, params = _build_pair(in_channels=10, seed=2)
+    rfw = ref.frameworks.InpaintCFG(
+        tm, p_uncond=0.1, timesteps=T, beta_schedule="linear"
+    )
+    jfw = build_framework(
+        "InpaintCFG", jm,
+        {"timesteps": T, "beta_schedule": "linear", "p_uncond": 0.1},
+    )
+    color, depth, mask, mask_rgb, depth_convex = _synthetic_conditions(N, SIZE)
+    classes = np.random.default_rng(3).integers(0, NUM_CLASSES, size=(N,))
+    color2, depth2 = color * 2 - 1, depth * 2 - 1
+
+    rs = ref.samplers.DdimSampler(rfw)
+    torch.manual_seed(11)
+    with torch.no_grad():
+        rout = rs.sample(
+            N,
+            classes=torch.from_numpy(classes).long(),
+            steps=10,
+            strength=GUIDANCE,
+            y=_nchw(np.concatenate([color2, depth2], axis=-1)),
+            mask=_nchw(mask),
+            mask_rgb=_nchw(mask_rgb),
+            replace_rgb=(0.1, _nchw(color2), _nchw(mask_rgb)),
+            replace_depth=(0.2, _nchw(depth2), _nchw(mask)),
+            constrain_depth=(0.5, _nchw(depth_convex * 2 - 1)),
+            verbose=False,
+        )
+    ref_final = _nhwc(rout.samples)
+
+    cond = {
+        "y": jnp.asarray(np.concatenate([color2, depth2], axis=-1)),
+        "mask": jnp.asarray(mask),
+        "mask_rgb": jnp.asarray(mask_rgb),
+        "classes": jnp.asarray(classes, jnp.int32),
+    }
+    edits = PredX0Edits(
+        replace_rgb=(0.1, jnp.asarray(color2), jnp.asarray(mask_rgb)),
+        replace_depth=(0.2, jnp.asarray(depth2), jnp.asarray(mask)),
+        constrain_depth=(0.5, jnp.asarray(depth_convex * 2 - 1)),
+    )
+    jout = samplers.ddim_sample(
+        jfw, params, jax.random.PRNGKey(11), num=N, image_size=SIZE,
+        cond=cond, guidance=GUIDANCE, steps=10, edits=edits,
+    )
+    jax_final = np.asarray(jout["samples"])
+    assert np.isfinite(jax_final).all() and np.isfinite(ref_final).all()
+    _stat_gate(_to_rgb01(ref_final), _to_rgb01(jax_final), "cond-inpaint")
+    # Depth channel carries the constrain/replace edits — gate it too.
+    depth_ref = np.clip(ref_final[..., 3:] * 0.5 + 0.5, 0, 1)
+    depth_jax = np.clip(jax_final[..., 3:] * 0.5 + 0.5, 0, 1)
+    _stat_gate(
+        np.repeat(depth_ref, 3, axis=-1).astype(np.float32),
+        np.repeat(depth_jax, 3, axis=-1).astype(np.float32),
+        "cond-inpaint-depth",
+    )
