@@ -137,10 +137,11 @@ def resolve_zbuffer_tiled(
     assert npix < 2**24, f"render_size {render_size} exceeds exact-f32 pixel ids"
     ntiles = npix // P
 
-    pix = jnp.concatenate([f.pixel for f in fragments])
-    d = jnp.concatenate([f.depth for f in fragments])
-    valid = jnp.concatenate([f.valid for f in fragments])
-    payload = jnp.concatenate(payloads, axis=0)
+    cat = lambda xs, **kw: xs[0] if len(xs) == 1 else jnp.concatenate(xs, **kw)
+    pix = cat([f.pixel for f in fragments])
+    d = cat([f.depth for f in fragments])
+    valid = cat([f.valid for f in fragments])
+    payload = cat(list(payloads), axis=0)
     k = payload.shape[-1]
     assert k <= 4, f"tiled resolve supports K<=4 payload channels, got {k}"
     if k < 4:

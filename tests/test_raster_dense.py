@@ -74,12 +74,17 @@ def _random_scene(seed, r, n_tri, behind=False):
     return win, w, attrs, tris
 
 
-def test_dense_matches_brute_force():
+import pytest
+
+
+@pytest.mark.parametrize("interpret", [False, True],
+                         ids=["xla", "pallas-interpret"])
+def test_dense_matches_brute_force(interpret):
     r = 16
     win, w, attrs, tris = _random_scene(0, r, 12)
     got = rasterize_tris_dense(
         jnp.asarray(win), jnp.asarray(w), jnp.asarray(attrs),
-        jnp.asarray(tris), r,
+        jnp.asarray(tris), r, interpret=interpret,
     )
     ref_a, ref_z, ref_f, ref_c = _brute_force(win, w, attrs, tris, r)
     np.testing.assert_array_equal(np.asarray(got.covered), ref_c)
@@ -88,12 +93,14 @@ def test_dense_matches_brute_force():
     np.testing.assert_array_equal(np.asarray(got.front), ref_f)
 
 
-def test_dense_discard_and_invalid():
+@pytest.mark.parametrize("interpret", [False, True],
+                         ids=["xla", "pallas-interpret"])
+def test_dense_discard_and_invalid(interpret):
     r = 16
     win, w, attrs, tris = _random_scene(3, r, 16, behind=True)
     got = rasterize_tris_dense(
         jnp.asarray(win), jnp.asarray(w), jnp.asarray(attrs),
-        jnp.asarray(tris), r, discard_attr=2,
+        jnp.asarray(tris), r, discard_attr=2, interpret=interpret,
     )
     ref_a, ref_z, ref_f, ref_c = _brute_force(
         win, w, attrs, tris, r, discard_attr=2
