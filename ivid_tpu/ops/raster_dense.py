@@ -34,8 +34,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _FAR = 9.0  # matches raster_tiled sentinel; valid window z in [0, 1]
-_P = 256   # pixels per kernel tile (matches raster_tiled)
-_TC = 256  # triangles per kernel chunk
+_TC = 128  # triangles per kernel chunk (keeps [row, 6·TC] panels in VMEM)
+_PWP = 24  # payload plane rows per chunk, 8-sublane aligned (pw = 3A+5 ≤ 23)
+_BIG_SPAN = 32.0  # window-y span above which a triangle skips y-binning
 
 
 class DenseRaster(NamedTuple):
@@ -71,13 +72,35 @@ def _plane_coeffs(p, f):
 
 
 def _tri_planes(win, w, attrs, tris, discard_attr):
-    """Per-triangle affine plane coefficients for edge functions, window z,
-    1/w, attr/w channels, plus front/valid flags."""
-    A = attrs.shape[-1]
+    """Per-triangle planes for an indexed triangle set (vertex gathers)."""
+    return _planes_from_corners(
+        win[tris], w[tris], attrs[tris], discard_attr
+    )
 
-    p = win[tris]          # [T, 3, 3] (x, y, zwin)
-    fw = w[tris]           # [T, 3]
-    fa = attrs[tris]       # [T, 3, A]
+
+def grid_tri_corners(vertex_vals: jnp.ndarray, grid_size: int,
+                     ft: jnp.ndarray) -> jnp.ndarray:
+    """Per-face corner values [2·(g-1)², 3, C] for a regular-grid mesh,
+    built from SLICES of the [g, g, C] vertex grid — no gathers. Matches
+    ``geometry.triangulate``'s faces (tr, tl, ft ? br : bl) and
+    (bl, br, ft ? tl : tr) in cell-major order (reference:
+    rgbd_3d/utils.py:113-134)."""
+    g = grid_size
+    V = vertex_vals.reshape(g, g, -1)
+    tl, tr = V[:-1, :-1], V[:-1, 1:]
+    bl, br = V[1:, :-1], V[1:, 1:]
+    f = ft[..., None]
+    f0 = jnp.stack([tr, tl, jnp.where(f, br, bl)], axis=2)  # [n, n, 3, C]
+    f1 = jnp.stack([bl, br, jnp.where(f, tl, tr)], axis=2)
+    both = jnp.stack([f0, f1], axis=2)                      # [n, n, 2, 3, C]
+    return both.reshape(-1, 3, V.shape[-1])
+
+
+def _planes_from_corners(p, fw, fa, discard_attr):
+    """Per-triangle affine plane coefficients for edge functions, window z,
+    1/w, attr/w channels, plus front/valid flags. ``p`` [T,3,3] window
+    positions, ``fw`` [T,3] clip w, ``fa`` [T,3,A] vertex attributes."""
+    A = fa.shape[-1]
 
     valid_tri = jnp.all(fw > 1e-6, axis=-1)
     inv_w = 1.0 / jnp.where(fw > 1e-6, fw, 1.0)
@@ -144,18 +167,48 @@ def rasterize_tris_dense(
       7.5 ms/slot on v5e vs <1 ms for the kernel).
     - an XLA block map (CPU tests, odd sizes, ``IVID_TPU_SKIRT_IMPL=xla``).
     """
+    pln = _tri_planes(win, w, attrs, tris, discard_attr)
+    return _dispatch(pln, render_size, block_px, interpret)
+
+
+def rasterize_grid_dense(
+    win: jnp.ndarray,
+    w: jnp.ndarray,
+    attrs: jnp.ndarray,
+    positions: jnp.ndarray,
+    grid_size: int,
+    render_size: int,
+    discard_attr: Optional[int] = None,
+    block_px: int = 2048,
+    interpret: bool = False,
+) -> DenseRaster:
+    """Per-pixel raster of an ENTIRE regular-grid depth mesh (all
+    2·(g-1)² faces). Corner values come from grid slices instead of
+    ``faces`` gathers (the profiled gathers were ~1.3 ms/slot on v5e),
+    re-deriving the diagonal split from ``positions`` exactly as
+    ``geometry.triangulate`` chose it."""
+    from ivid_tpu.ops.geometry import triangulate_face_type
+
+    g = grid_size
+    ft = triangulate_face_type(positions.reshape(g, g, 3))
+    packed = jnp.concatenate([win, w[:, None], attrs], axis=-1)
+    corners = grid_tri_corners(packed, g, ft)     # [T, 3, 4+A]
+    pln = _planes_from_corners(
+        corners[..., :3], corners[..., 3], corners[..., 4:], discard_attr
+    )
+    return _dispatch(pln, render_size, block_px, interpret)
+
+
+def _dispatch(pln, render_size, block_px, interpret):
     import os
 
-    r = render_size
-    npix = r * r
-    pln = _tri_planes(win, w, attrs, tris, discard_attr)
     impl = os.environ.get("IVID_TPU_SKIRT_IMPL", "auto")
     use_pallas = impl != "xla" and (
         interpret or jax.default_backend() == "tpu" or impl == "pallas"
     )
     if use_pallas:
-        return _pallas_raster(pln, r, pln["py"], interpret=interpret)
-    return _xla_raster(pln, r, npix, block_px)
+        return _pallas_raster(pln, render_size, interpret=interpret)
+    return _xla_raster(pln, render_size, render_size * render_size, block_px)
 
 
 def _xla_raster(pln, r, npix, block_px):
@@ -234,52 +287,65 @@ def _xla_raster(pln, r, npix, block_px):
     )
 
 
-def _skirt_kernel(hit_ref, geom_ref, pay_ref, out_ref, zbuf_s, acc_s, *, r, nc, pw):
-    """One framebuffer ROW vs the y-overlapping triangle chunks.
+def _dense_kernel(lohi_ref, span_ref, glob_ref, geom_ref, pay_ref, out_ref,
+                  zbuf_s, acc_s, *, r):
+    """One framebuffer ROW vs its y-overlapping triangle chunks.
 
-    The grid is one program per row: ``qy`` is a per-program constant, so a
-    plane evaluates as ONE [r, TC]-broadcast FMA (a [P,8]x[8,·] matmul form
-    of the same math measured ~10x slower — the 8-deep contraction wastes
-    the MXU and falls to VPU broadcast). Triangles are pre-sorted by window
-    y, so the prefetched ``hit_ref[t, c]`` scalars skip chunks whose y-span
-    misses this row — most (row, chunk) pairs in a skirt ring.
+    One program per row: ``qy`` is a per-program constant, so a plane
+    evaluates as ONE [r, 6·TC]-broadcast FMA (an MXU matmul form of the
+    same math measured ~10x slower — an 8-deep contraction wastes the
+    systolic array and falls to VPU broadcast). Triangles are pre-sorted
+    by window ymin with large-span triangles split off to a global tail,
+    so each row runs two compact ``fori_loop``s: its contiguous y-band
+    chunk range [lo, hi) plus the global range — a handful of chunks out
+    of potentially hundreds — with a per-chunk prefetched span check
+    skipping the rest. Chunks straddling the band/global boundary may be
+    processed twice; the equal-z merge path then double-adds the same
+    winner sums AND the count column, which the tie-average normalization
+    cancels exactly.
 
-    geom_ref: VMEM [3, nc·7·TC] — rows (x-coef, y-coef, const) per chunk,
-        plane order e0, e1, e2, z, dnum, dden, front.
-    pay_ref:  VMEM [nc·TC, PW] — attr/w plane table + front + ones columns.
-    out_ref:  VMEM [1, r, 1+PW] — col 0 zbuf, 1.. tie-summed payload planes.
+    lohi_ref: SMEM [r, 2] — this row's y-band chunk range.
+    span_ref: SMEM [nc, 2] — per-chunk integer window-y span.
+    glob_ref: SMEM [2] — big-triangle chunk range (shared by all rows).
+    geom_ref: VMEM [nc·8, 6·TC] — rows 0-2 of each 8-row chunk group are
+        (x-coef, y-coef, const); plane order e0, e1, e2, z, D, front with
+        D = dnum − 0.001·dden folding the backface-padding discard test
+        into a single affine plane.
+    pay_ref:  VMEM [nc·PWP, TC] — payload planes per chunk (attr/w planes,
+        1/w plane, front, ones), tri-major on lanes.
+    out_ref:  VMEM [1, r, 1+PWP] — col 0 zbuf, 1.. tie-summed planes.
     """
     t = pl.program_id(0)
     qx = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0).astype(jnp.float32) + 0.5
     qy = t.astype(jnp.float32) + 0.5
 
     zbuf_s[...] = jnp.full((r, 1), _FAR, jnp.float32)
-    acc_s[...] = jnp.zeros((r, pw), jnp.float32)
-    for c in range(nc):
-        @pl.when(hit_ref[t, c] > 0)
-        def _(c=c):
-            g = geom_ref[:, c * 7 * _TC : (c + 1) * 7 * _TC]
-            row = qy * g[1:2, :] + g[2:3, :]          # [1, 7·TC]
-            G = qx * g[0:1, :] + row                   # [r, 7·TC]
+    acc_s[...] = jnp.zeros((r, _PWP), jnp.float32)
+
+    def chunk(c, carry):
+        @pl.when((span_ref[c, 0] <= t) & (span_ref[c, 1] >= t))
+        def _():
+            g = geom_ref[pl.ds(c * 8, 8), :]           # [8, 6·TC]
+            row = qy * g[1:2, :] + g[2:3, :]           # [1, 6·TC]
+            G = qx * g[0:1, :] + row                   # [r, 6·TC]
             e0 = G[:, 0 * _TC : 1 * _TC]
             e1 = G[:, 1 * _TC : 2 * _TC]
             e2 = G[:, 2 * _TC : 3 * _TC]
             z = G[:, 3 * _TC : 4 * _TC]
-            dnum = G[:, 4 * _TC : 5 * _TC]
-            dden = G[:, 5 * _TC : 6 * _TC]
-            front = G[:, 6 * _TC : 7 * _TC]
+            D = G[:, 4 * _TC : 5 * _TC]
+            front = G[:, 5 * _TC : 6 * _TC]
             ok = (
                 (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0)
                 & (z >= 0.0) & (z <= 1.0)
-                & ~((front < 0.5) & (dnum - 0.001 * dden > 0.0))
+                & ~((front < 0.5) & (D > 0.0))
             )
             zm = jnp.where(ok, z, _FAR)
             zc = jnp.min(zm, axis=1, keepdims=True)
             win = ((zm == zc) & (zc < 1.5)).astype(jnp.float32)
             acc_c = jax.lax.dot_general(
-                win, pay_ref[c * _TC : (c + 1) * _TC, :],
-                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-            )  # [r, PW]
+                win, pay_ref[pl.ds(c * _PWP, _PWP), :],
+                (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            )  # [r, PWP]
             zbuf = zbuf_s[...]
             less = zc < zbuf
             eq = zc == zbuf
@@ -287,101 +353,159 @@ def _skirt_kernel(hit_ref, geom_ref, pay_ref, out_ref, zbuf_s, acc_s, *, r, nc, 
                 less, acc_c, jnp.where(eq, acc_s[...] + acc_c, acc_s[...])
             )
             zbuf_s[...] = jnp.minimum(zbuf, zc)
+        return carry
+
+    jax.lax.fori_loop(lohi_ref[t, 0], lohi_ref[t, 1], chunk, 0)
+    jax.lax.fori_loop(glob_ref[0], glob_ref[1], chunk, 0)
     out_ref[0, :, 0:1] = zbuf_s[...]
     out_ref[0, :, 1:] = acc_s[...]
 
 
-def _pallas_raster(pln, r, win_y, interpret=False) -> DenseRaster:
+def _pallas_raster(pln, r, interpret=False) -> DenseRaster:
     A = pln["A"]
     T = pln["front"].shape[0]
     npix = r * r
     nc = -(-T // _TC)
     Tp = nc * _TC
     pad = Tp - T
-
     valid = pln["valid"]
-    # Window-y spans for chunk pruning: invalid tris get an empty interval.
+    win_y = pln["py"]
+
+    # Window-y spans; invalid tris get an empty interval.
     ymin = jnp.where(valid, jnp.min(win_y, axis=1), jnp.inf)
     ymax = jnp.where(valid, jnp.max(win_y, axis=1), -jnp.inf)
-    # Sort by y-center so chunks are y-bands (ties/invalid go last).
-    order = jnp.argsort(jnp.where(valid, 0.5 * (ymin + ymax), jnp.inf))
-    perm = lambda x: x[order]
+    big = (ymax - ymin) > _BIG_SPAN
+    # Sort key: y-binnable tris by ymin, then big tris, then invalid — the
+    # per-row chunk ranges below assume exactly this grouping.
+    key = jnp.where(
+        valid & ~big, jnp.clip(ymin, -1e6, 1e6), jnp.where(valid, 2e6, 3e6)
+    )
+    key_s, order = jax.lax.sort(
+        (key, jnp.arange(T, dtype=jnp.int32)), num_keys=1
+    )
+    n_small = jnp.sum(valid & ~big)
+    n_valid = jnp.sum(valid)
 
-    def padt(x, fill=0.0):
-        return jnp.pad(perm(x), [(0, pad)] + [(0, 0)] * (x.ndim - 1),
-                       constant_values=fill)
-
-    valid_s = padt(valid, False)
     # Fold validity into the z plane: invalid/padded tris interpolate z=_FAR
     # everywhere and fail the z-range test.
-    za = jnp.where(valid_s, padt(pln["za"]), 0.0)
-    zb = jnp.where(valid_s, padt(pln["zb"]), 0.0)
-    zc = jnp.where(valid_s, padt(pln["zc"]), _FAR)
+    za = jnp.where(valid, pln["za"], 0.0)
+    zb = jnp.where(valid, pln["zb"], 0.0)
+    zcc = jnp.where(valid, pln["zc"], _FAR)
+    wa, wb, wc = pln["wa"], pln["wb"], pln["wc"]
     if pln["dnum"] is not None:
-        da, db, dc = (padt(v) for v in pln["dnum"])
+        # D = dnum − 0.001·dden: one affine plane for the whole discard test.
+        da = pln["dnum"][0] - 0.001 * wa
+        db = pln["dnum"][1] - 0.001 * wb
+        dc = pln["dnum"][2] - 0.001 * wc
     else:
-        # Constant plane −1: the discard predicate dnum > 0.001·dden (dden =
-        # interpolated 1/w > 0) is then never true.
-        da = jnp.zeros((Tp,))
-        db = jnp.zeros((Tp,))
-        dc = jnp.full((Tp,), -1.0)
-    frontf = padt(pln["front"].astype(jnp.float32))
+        da = jnp.zeros((T,))
+        db = jnp.zeros((T,))
+        dc = jnp.full((T,), -1.0)
+    frontf = pln["front"].astype(jnp.float32)
+    zero = jnp.zeros((T,))
 
-    planes = [
-        (padt(pln["ea"][:, 0]), padt(pln["eb"][:, 0]), padt(pln["ec"][:, 0])),
-        (padt(pln["ea"][:, 1]), padt(pln["eb"][:, 1]), padt(pln["ec"][:, 1])),
-        (padt(pln["ea"][:, 2]), padt(pln["eb"][:, 2]), padt(pln["ec"][:, 2])),
-        (za, zb, zc),
-        (da, db, dc),
-        (padt(pln["wa"]), padt(pln["wb"]), padt(pln["wc"])),
-        (jnp.zeros((Tp,)), jnp.zeros((Tp,)), frontf),
+    # ONE packed [T, 44] table so the y-sort permutation is a single row
+    # gather: 18 geometry plane coefficients (6 planes × x/y/const), then
+    # 3A+4 payload plane columns, then the y-span pair.
+    geom_cols = [
+        pln["ea"][:, 0], pln["eb"][:, 0], pln["ec"][:, 0],
+        pln["ea"][:, 1], pln["eb"][:, 1], pln["ec"][:, 1],
+        pln["ea"][:, 2], pln["eb"][:, 2], pln["ec"][:, 2],
+        za, zb, zcc, da, db, dc, zero, zero, frontf,
     ]
-    # [3, 7, Tp] → chunk-major [3, nc, 7, TC] → [3, nc·7·TC].
-    geom = jnp.stack([jnp.stack(p, 0) for p in planes], 1)  # [3, 7, Tp]
-    geom = geom.reshape(3, 7, nc, _TC).transpose(0, 2, 1, 3).reshape(3, -1)
-
+    pay_cols = (
+        [pln["aa"][:, i] for i in range(A)]
+        + [pln["ab"][:, i] for i in range(A)]
+        + [pln["ac"][:, i] for i in range(A)]
+        + [wa, wb, wc, frontf]
+    )
     pw = 3 * A + 5
-    pay = jnp.concatenate(
+    assert pw <= _PWP, f"payload planes {pw} exceed {_PWP}"
+    packed = jnp.stack(
+        geom_cols + pay_cols
+        + [jnp.clip(ymin, -1e6, 1e6), jnp.clip(ymax, -1e6, 1e6)],
+        axis=-1,
+    ).astype(jnp.float32)[order]
+    ng, npay = 18, 3 * A + 4
+    packed = jnp.pad(packed, ((0, pad), (0, 0)))
+    # Padding rows: z plane must be invalid (const FAR), spans empty.
+    if pad:
+        fill = jnp.zeros((pad, packed.shape[1]))
+        fill = fill.at[:, 11].set(_FAR)
+        fill = fill.at[:, ng + npay].set(1e6)
+        fill = fill.at[:, ng + npay + 1].set(-1e6)
+        packed = packed.at[T:].set(fill)
+
+    # geom [nc·8, 6·TC]: per chunk, sublane rows 0-2 = x/y/const coefficient
+    # rows over plane-major lanes; rows 3-7 pad to the 8-sublane tile.
+    g3 = packed[:, :ng].reshape(nc, _TC, 6, 3).transpose(0, 3, 2, 1)
+    geom = jnp.pad(
+        g3.reshape(nc, 3, 6 * _TC), ((0, 0), (0, 5), (0, 0))
+    ).reshape(nc * 8, 6 * _TC)
+
+    # pay [nc·PWP, TC]: payload planes on sublanes, tris on lanes; the ones
+    # (winner count) row rides in the slot after the gathered columns.
+    payp = jnp.concatenate(
         [
-            padt(pln["aa"]), padt(pln["ab"]), padt(pln["ac"]),
-            padt(pln["wa"])[:, None], padt(pln["wb"])[:, None],
-            padt(pln["wc"])[:, None], frontf[:, None],
+            packed[:, ng : ng + npay],
             jnp.ones((Tp, 1)),
+            jnp.zeros((Tp, _PWP - npay - 1)),
         ],
         axis=-1,
-    ).astype(jnp.float32)
+    )
+    pay = payp.reshape(nc, _TC, _PWP).transpose(0, 2, 1).reshape(nc * _PWP, _TC)
 
-    # Per (row, chunk) hit scalars: row t spans window y in [t, t+1).
-    cymin = jnp.min(padt(ymin, jnp.inf).reshape(nc, _TC), axis=1)  # [nc]
-    cymax = jnp.max(padt(ymax, -jnp.inf).reshape(nc, _TC), axis=1)
-    rows = jnp.arange(r, dtype=jnp.float32)
-    hit = (
-        (cymax[None, :] >= rows[:, None]) & (cymin[None, :] <= rows[:, None] + 1)
-    ).astype(jnp.int32)  # [r, nc]
+    ymin_s = packed[:, ng + npay]
+    ymax_s = packed[:, ng + npay + 1]
+
+    # Per-row y-band chunk ranges over the small-tri prefix. hi: first tri
+    # with ymin > t+1 (searchsorted on the sort key). lo: first index whose
+    # running-max ymax reaches t — every earlier tri ends strictly below
+    # this row, so the range [lo, hi) is a superset of the row's overlaps.
+    rows_f = jnp.arange(r, dtype=jnp.float32)
+    is_small = key_s < 1.5e6
+    key_pad = jnp.pad(key_s, (0, pad), constant_values=3e6)
+    hi_tri = jnp.searchsorted(key_pad, rows_f + 1.0, side="right")
+    cm = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(jnp.pad(is_small, (0, pad)), ymax_s, -jnp.inf)
+    )
+    lo_tri = jnp.searchsorted(cm, rows_f, side="left")
+    lohi = jnp.stack(
+        [lo_tri // _TC, -(-hi_tri // _TC)], axis=-1
+    ).astype(jnp.int32)
+
+    # Per-chunk integer window-y spans for the in-range skip check.
+    cymin = jnp.min(ymin_s.reshape(nc, _TC), axis=1)
+    cymax = jnp.max(ymax_s.reshape(nc, _TC), axis=1)
+    spans = jnp.stack(
+        [jnp.floor(cymin), jnp.ceil(cymax)], axis=-1
+    ).astype(jnp.int32)
+
+    glob = jnp.stack([n_small // _TC, -(-n_valid // _TC)]).astype(jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=3,
         grid=(r,),
         in_specs=[
-            pl.BlockSpec((3, nc * 7 * _TC), lambda t, h: (0, 0)),
-            pl.BlockSpec((Tp, pw), lambda t, h: (0, 0)),
+            pl.BlockSpec((nc * 8, 6 * _TC), lambda t, lh, sp, gl: (0, 0)),
+            pl.BlockSpec((nc * _PWP, _TC), lambda t, lh, sp, gl: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, r, 1 + pw), lambda t, h: (t, 0, 0)),
+        out_specs=pl.BlockSpec((1, r, 1 + _PWP), lambda t, lh, sp, gl: (t, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((r, 1), jnp.float32),
-            pltpu.VMEM((r, pw), jnp.float32),
+            pltpu.VMEM((r, _PWP), jnp.float32),
         ],
     )
     out = pl.pallas_call(
-        lambda h_ref, g_ref, p_ref, o_ref, zs, as_: _skirt_kernel(
-            h_ref, g_ref, p_ref, o_ref, zs, as_, r=r, nc=nc, pw=pw
+        lambda lh, sp, gl, g_ref, p_ref, o_ref, zs, as_: _dense_kernel(
+            lh, sp, gl, g_ref, p_ref, o_ref, zs, as_, r=r
         ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((r, r, 1 + pw), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((r, r, 1 + _PWP), jnp.float32),
         interpret=interpret,
-    )(hit, geom.astype(jnp.float32), pay)
+    )(lohi, spans, glob, geom, pay)
 
-    out = out.reshape(npix, 1 + pw)
+    out = out.reshape(npix, 1 + _PWP)
     zbuf = out[:, 0]
     acc = out[:, 1:]
     covered = zbuf < 1.5

@@ -50,6 +50,24 @@ def _skirt_mode() -> str:
     return v
 
 
+def _raster_mode() -> str:
+    """``full``: the ENTIRE mesh (interior + skirt) goes through ONE
+    per-pixel dense Pallas raster (ops/raster_dense.rasterize_grid_dense) —
+    no fragment generation, no 516k-fragment sort, no tiled resolve, and
+    exact GL pixel-center coverage instead of SSAA lattice sampling.
+    ``hybrid``: interior faces via the fragment pipeline + skirt per
+    ``IVID_TPU_SKIRT`` (round-2 production path; CPU default — the dense
+    panels are O(pixels × triangles) and only pay off on the TPU kernel).
+    ``auto`` resolves to full on TPU, hybrid elsewhere."""
+    import os
+
+    v = os.environ.get("IVID_TPU_RASTER_MODE", "auto")
+    assert v in ("auto", "full", "hybrid"), v
+    if v == "auto":
+        return "full" if jax.default_backend() == "tpu" else "hybrid"
+    return v
+
+
 def _ring_face_split(grid_size: int):
     """Static face-index split: (interior_faces, ring_faces). Face ``2k``/
     ``2k+1`` triangulate grid cell ``k`` (geometry.triangulate ordering)."""
@@ -156,13 +174,29 @@ def _raster_mesh(
     skirt_level: int,
     has_skirt: bool,
 ):
-    """Rasterize one mesh: fragment batches plus (dense mode) the skirt
-    triangle set for the per-pixel pass. Returns ``(frags, skirt)`` where
-    ``skirt`` is ``None`` (no skirt / lattice mode handles it in ``frags``)
-    or ``(win, w, skirt_faces)``."""
+    """Rasterize one mesh: fragment batches plus (dense modes) a triangle
+    set for the per-pixel pass. Returns ``(frags, dense)`` where ``dense``
+    is ``None`` (lattice mode handles the skirt in ``frags``),
+    ``("tris", win, w, skirt_faces)`` (hybrid: skirt only), or
+    ``("grid", win, w, grid_size)`` (full: the whole mesh, no fragments)."""
     mvp = projection @ modelview
     win, w = raster.project_vertices(mesh.positions, mvp, render_size)
     grid_size = int(round(np.sqrt(mesh.positions.shape[0])))
+
+    if _raster_mode() == "full":
+        # Meshes without a skirt are still full grids — the padding ring
+        # simply isn't flagged; the dense pass rasterizes every face. The
+        # grid corner-slice path requires depth_to_mesh's row-major vertex
+        # order + triangulate() faces; other meshes (e.g. the quad smoke
+        # test) go through the indexed-tris dense path.
+        is_grid = (
+            grid_size * grid_size == mesh.positions.shape[0]
+            and mesh.faces.shape[0] == 2 * (grid_size - 1) ** 2
+            and grid_size >= 3
+        )
+        if is_grid:
+            return [], ("grid", win, w, grid_size)
+        return [], ("tris", win, w, mesh.faces)
 
     if has_skirt and _skirt_mode() == "dense":
         int_idx, ring_idx = _ring_face_split(grid_size)
@@ -172,14 +206,15 @@ def _raster_mesh(
                 render_size, interior_level,
             )
         ]
-        return frags, (win, w, mesh.faces[jnp.asarray(ring_idx)])
+        return frags, ("tris", win, w, mesh.faces[jnp.asarray(ring_idx)])
 
     frags = [
         raster.generate_fragments(
             win, w, vertex_attrs, mesh.faces, render_size, interior_level
         )
     ]
-    if has_skirt:
+    if has_skirt:  # lattice skirt mode
+
         n = grid_size - 1
         i, j = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
         on_i = (i == 0) | (i == n - 1)
@@ -199,6 +234,28 @@ def _raster_mesh(
     return frags, None
 
 
+def _dense_raster(dense, attrs, mesh, render_size, discard_attr=None):
+    """Run the per-pixel pass described by ``_raster_mesh``'s dense spec."""
+    if dense[0] == "tris":
+        return raster_dense.rasterize_tris_dense(
+            dense[1], dense[2], attrs, dense[3], render_size,
+            discard_attr=discard_attr,
+        )
+    return raster_dense.rasterize_grid_dense(
+        dense[1], dense[2], attrs, mesh.positions, dense[3], render_size,
+        discard_attr=discard_attr,
+    )
+
+
+def _empty_framebuffer(render_size, k):
+    """Cleared (payload, depth_win, covered) buffers for full-dense mode,
+    where no fragment batches exist to resolve."""
+    r = render_size
+    return (
+        jnp.zeros((r, r, k)), jnp.ones((r, r)), jnp.zeros((r, r), bool)
+    )
+
+
 def render_simple(
     mesh: Mesh,
     color: jnp.ndarray,
@@ -216,7 +273,7 @@ def render_simple(
     linearized with THIS renderer's near/far, ``mask`` [R,R,1] bool."""
     flags = _unpacked_flags(mesh.flag)
     attrs = jnp.concatenate([mesh.uv, flags[:, :1]], axis=-1)  # uv, edge
-    frags, skirt = _raster_mesh(
+    frags, dense = _raster_mesh(
         mesh, attrs, modelview, cam.perspective(fov, 1.0, near, far),
         render_size, interior_level, skirt_level, has_skirt,
     )
@@ -237,11 +294,14 @@ def render_simple(
             )
         )
 
-    payload, depth_win, covered = raster.resolve_zbuffer(frags, payloads, render_size)
-    if skirt is not None:
-        sk = raster_dense.rasterize_tris_dense(
-            skirt[0], skirt[1], attrs, skirt[2], render_size
+    if frags:
+        payload, depth_win, covered = raster.resolve_zbuffer(
+            frags, payloads, render_size
         )
+    else:
+        payload, depth_win, covered = _empty_framebuffer(render_size, 4)
+    if dense is not None:
+        sk = _dense_raster(dense, attrs, mesh, render_size)
         sk_alpha = jnp.where(
             sk.front & (sk.attrs[:, 2] <= 0.999), 1.0, 0.0
         )
@@ -297,7 +357,7 @@ def _aggregation_view_buffers(
     attrs = jnp.concatenate(
         [mesh.uv, flags, wgt_vertex[:, None]], axis=-1
     )  # uv(2) edge/pad/eroded(3) weight(1)
-    frags, skirt = _raster_mesh(
+    frags, dense = _raster_mesh(
         mesh, attrs, modelview, projection, render_size,
         interior_level, skirt_level, has_skirt,
     )
@@ -324,13 +384,16 @@ def _aggregation_view_buffers(
             jnp.concatenate([f.attrs[:, 0:2], alpha[:, None]], axis=-1)
         )
 
-    payload, depth_win, covered = raster.resolve_zbuffer(new_frags, payloads, render_size)
-    if skirt is not None:
+    if new_frags:
+        payload, depth_win, covered = raster.resolve_zbuffer(
+            new_frags, payloads, render_size
+        )
+    else:
+        payload, depth_win, covered = _empty_framebuffer(render_size, 3)
+    if dense is not None:
         # discard_attr=3: the interpolated padding channel drives the
         # backface-padding discard inside the per-pixel z-test.
-        sk = raster_dense.rasterize_tris_dense(
-            skirt[0], skirt[1], attrs, skirt[2], render_size, discard_attr=3
-        )
+        sk = _dense_raster(dense, attrs, mesh, render_size, discard_attr=3)
         sk_alpha = agg_alpha(
             sk.attrs[:, 2], sk.attrs[:, 3], sk.attrs[:, 4], sk.attrs[:, 5],
             sk.front,

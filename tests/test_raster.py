@@ -333,3 +333,67 @@ def test_skirt_dense_matches_lattice(monkeypatch):
     for key in ["color", "depth"]:
         d = np.abs(np.asarray(dense[key]) - np.asarray(lattice[key]))
         assert d[both].mean() < 0.02, (key, d[both].mean())
+
+
+def test_full_dense_matches_hybrid(monkeypatch):
+    """IVID_TPU_RASTER_MODE=full (whole mesh through the per-pixel dense
+    raster, no fragments) must agree with the hybrid fragment pipeline:
+    full is exact pixel-center coverage, the lattice under-covers stretched
+    quads, so coverage may grow slightly but valued outputs must match.
+    Color uses a smooth gradient: at hard texel boundaries the two paths'
+    half-pixel uv sampling offsets legitimately flip the nearest texel
+    (measured: depth/mask identical, checker color flips on boundary px)."""
+    s = 32
+    i, j = np.meshgrid(np.arange(s), np.arange(s), indexing="ij")
+    grad = (i + j).astype(np.float32) / (2 * s)
+    color = np.stack([grad, 1 - grad, 0.5 * np.ones_like(grad)], -1)
+    rgbd = jnp.asarray(np.concatenate(
+        [color, np.full((s, s, 1), 0.5, np.float32)], axis=-1
+    ))
+    mv0 = warp.default_modelview()
+    target = cam.orbit_modelview(0.3, 0.1)
+    mesh = geom.depth_to_mesh(
+        geom.linearize_depth(rgbd[..., 3:], 0.5, 100.0),
+        padding="frustum", fov=45.0, modelview=mv0,
+        atol=0.03, rtol=0.03, erode_rgb=3, cal_normal=True,
+    )
+    meshes = rend.stack_meshes([mesh])
+    colors = rgbd[None, ..., :3]
+    valid = jnp.array([True])
+
+    def run():
+        return jax.device_get(warp.aggregate_conditions(
+            meshes, colors, valid, target, fov=45.0, near=0.5, far=100.0,
+            atol=0.03, rtol=0.03, erode_rgb=3,
+        ))
+
+    monkeypatch.setenv("IVID_TPU_RASTER_MODE", "full")
+    full = run()
+    monkeypatch.setenv("IVID_TPU_RASTER_MODE", "hybrid")
+    hybrid = run()
+
+    for key in ["mask", "mask_rgb"]:
+        flip = np.abs(np.asarray(full[key]) - np.asarray(hybrid[key]))
+        assert flip.mean() < 0.04, (key, flip.mean())
+    both = (np.asarray(full["mask"]) * np.asarray(hybrid["mask"]))[..., 0] > 0
+    for key in ["color", "depth"]:
+        d = np.abs(np.asarray(full[key]) - np.asarray(hybrid[key]))
+        assert d[both].mean() < 0.02, (key, d[both].mean())
+
+
+def test_full_dense_render_simple(monkeypatch):
+    """Full-dense render_simple on the reference quad reproduces the exact
+    quadrant colors (no fragments at all in this mode)."""
+    monkeypatch.setenv("IVID_TPU_RASTER_MODE", "full")
+    mesh = _quad_mesh(flag_value=0.0)
+    res = rend.render_simple(
+        mesh, TEX, mesh.modelview, fov=90.0, render_size=64, near=0.1,
+        far=200.0, interior_level=96, has_skirt=False,
+    )
+    color = np.asarray(res["color"])
+    mask = np.asarray(res["mask"])
+    np.testing.assert_allclose(color[8, 8], [0, 0, 1], atol=1e-5)
+    np.testing.assert_allclose(color[8, 56], [1, 1, 0], atol=1e-5)
+    np.testing.assert_allclose(color[56, 8], [1, 0, 0], atol=1e-5)
+    np.testing.assert_allclose(color[56, 56], [0, 1, 0], atol=1e-5)
+    assert mask[8:-8, 8:-8].all()

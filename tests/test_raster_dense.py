@@ -110,6 +110,63 @@ def test_dense_discard_and_invalid(interpret):
     np.testing.assert_allclose(np.asarray(got.attrs), ref_a, atol=1e-4)
 
 
+def test_dense_multichunk_pallas_matches_xla():
+    """T > _TC forces multiple kernel chunks; r > _BIG_SPAN produces
+    large-span triangles routed to the global tail. The XLA block map is
+    the (brute-force-verified) reference."""
+    r = 48
+    win, w, attrs, tris = _random_scene(7, r, 300, behind=True)
+    args = (jnp.asarray(win), jnp.asarray(w), jnp.asarray(attrs),
+            jnp.asarray(tris), r)
+    got = rasterize_tris_dense(*args, discard_attr=1, interpret=True)
+    import os
+    os.environ["IVID_TPU_SKIRT_IMPL"] = "xla"
+    try:
+        ref = rasterize_tris_dense(*args, discard_attr=1)
+    finally:
+        del os.environ["IVID_TPU_SKIRT_IMPL"]
+    np.testing.assert_array_equal(np.asarray(got.covered), np.asarray(ref.covered))
+    np.testing.assert_allclose(np.asarray(got.depth), np.asarray(ref.depth),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.attrs), np.asarray(ref.attrs),
+                               atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(got.front), np.asarray(ref.front))
+
+
+@pytest.mark.parametrize("interpret", [False, True],
+                         ids=["xla", "pallas-interpret"])
+def test_grid_dense_matches_indexed(interpret):
+    """rasterize_grid_dense (slice-built corners) must agree with the
+    indexed-triangle path over geometry.triangulate's faces."""
+    from ivid_tpu.ops import geometry
+    from ivid_tpu.ops.raster import project_vertices
+    from ivid_tpu.ops import camera as cam
+    from ivid_tpu.ops.raster_dense import rasterize_grid_dense
+
+    g, r = 9, 16
+    rng = np.random.default_rng(11)
+    depth = 1.0 + 0.4 * rng.random((g, g)).astype(np.float32)
+    pts, _ = geometry.unproject(jnp.asarray(depth)[..., None])
+    positions = pts.reshape(-1, 3)
+    mvp = cam.perspective(45.0, 1.0, 0.1, 10.0)
+    win, w = project_vertices(positions, jnp.asarray(mvp), r)
+    attrs = rng.random((g * g, 5)).astype(np.float32)
+    faces = geometry.triangulate(pts)
+    ref = rasterize_tris_dense(
+        win, w, jnp.asarray(attrs), faces, r,
+        discard_attr=3, interpret=interpret,
+    )
+    got = rasterize_grid_dense(
+        win, w, jnp.asarray(attrs), positions, g, r,
+        discard_attr=3, interpret=interpret,
+    )
+    np.testing.assert_array_equal(np.asarray(got.covered), np.asarray(ref.covered))
+    np.testing.assert_allclose(np.asarray(got.depth), np.asarray(ref.depth),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.attrs), np.asarray(ref.attrs),
+                               atol=1e-5)
+
+
 def test_dense_empty():
     r = 8
     win = np.array([[0, 0, 0.5], [1, 0, 0.5], [0, 1, 0.5]], np.float32)
