@@ -25,6 +25,7 @@ triangle lattice sized to the SSAA factor.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -50,7 +51,7 @@ def _skirt_mode() -> str:
     return v
 
 
-def _raster_mode() -> str:
+def _raster_mode(override: Optional[str] = None) -> str:
     """``full``: the ENTIRE mesh (interior + skirt) goes through ONE
     per-pixel dense Pallas raster (ops/raster_dense.rasterize_grid_dense) —
     no fragment generation, no 516k-fragment sort, no tiled resolve, and
@@ -58,11 +59,18 @@ def _raster_mode() -> str:
     ``hybrid``: interior faces via the fragment pipeline + skirt per
     ``IVID_TPU_SKIRT`` (round-2 production path; CPU default — the dense
     panels are O(pixels × triangles) and only pay off on the TPU kernel).
-    ``auto`` resolves to full on TPU, hybrid elsewhere."""
+    ``auto`` resolves to full on TPU, hybrid elsewhere.
+
+    ``override`` is a per-call-site choice (e.g. the warp path is measured
+    faster hybrid); the ``IVID_TPU_RASTER_MODE`` env var, when set to a
+    non-auto value, still wins for A/B runs."""
     import os
 
     v = os.environ.get("IVID_TPU_RASTER_MODE", "auto")
     assert v in ("auto", "full", "hybrid"), v
+    if v == "auto" and override is not None:
+        v = override
+        assert v in ("auto", "full", "hybrid"), v
     if v == "auto":
         return "full" if jax.default_backend() == "tpu" else "hybrid"
     return v
@@ -173,6 +181,7 @@ def _raster_mesh(
     interior_level: int,
     skirt_level: int,
     has_skirt: bool,
+    raster_mode: Optional[str] = None,
 ):
     """Rasterize one mesh: fragment batches plus (dense modes) a triangle
     set for the per-pixel pass. Returns ``(frags, dense)`` where ``dense``
@@ -183,7 +192,18 @@ def _raster_mesh(
     win, w = raster.project_vertices(mesh.positions, mvp, render_size)
     grid_size = int(round(np.sqrt(mesh.positions.shape[0])))
 
-    if _raster_mode() == "full":
+    # Full-dense only pays while screen-space triangle spans are small: the
+    # per-row kernel's work scales with triangles-per-y-band, so the 130²
+    # condition-aggregation mesh (33k tris, pixel-scale tris from near-source
+    # views) runs 3.17 ms vs 7.7 ms for the fragment pipeline — but warp
+    # meshes have frame-spanning triangles (the padding=128 skirt ring, and
+    # stretched interior tris seen from a jittered pose), which blow up
+    # per-row trip counts: fwd warp render 11.8 ms dense vs 4.2 hybrid
+    # (bench_warp.py). Span-sensitive call sites pass raster_mode="hybrid"
+    # explicitly; the tri-count gate is only a backstop against giant meshes
+    # where the O(rows x chunks) prefetch scan itself would dominate.
+    dense_max = int(os.environ.get("IVID_TPU_DENSE_MAX_TRIS", "100000"))
+    if _raster_mode(raster_mode) == "full" and mesh.faces.shape[0] <= dense_max:
         # Meshes without a skirt are still full grids — the padding ring
         # simply isn't flagged; the dense pass rasterizes every face. The
         # grid corner-slice path requires depth_to_mesh's row-major vertex
@@ -267,15 +287,18 @@ def render_simple(
     interior_level: int = 4,
     skirt_level: int = 192,
     has_skirt: bool = True,
+    raster_mode: Optional[str] = None,
 ) -> dict:
     """Textured single-mesh raster (reference: moderngl_renderer.py:91-148 +
     shaders/simple.{vsh,fsh}). Returns ``color`` [R,R,3], ``depth`` [R,R,1]
-    linearized with THIS renderer's near/far, ``mask`` [R,R,1] bool."""
+    linearized with THIS renderer's near/far, ``mask`` [R,R,1] bool.
+    ``raster_mode`` overrides the auto full/hybrid choice per call site."""
     flags = _unpacked_flags(mesh.flag)
     attrs = jnp.concatenate([mesh.uv, flags[:, :1]], axis=-1)  # uv, edge
     frags, dense = _raster_mesh(
         mesh, attrs, modelview, cam.perspective(fov, 1.0, near, far),
         render_size, interior_level, skirt_level, has_skirt,
+        raster_mode=raster_mode,
     )
 
     # Payload carries uv, not rgb: the texture lookup happens ONCE per resolved

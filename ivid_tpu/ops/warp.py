@@ -69,10 +69,13 @@ def forward_backward_warp(
     )
     has_skirt0 = padding is not None
 
-    # Render from view1.
+    # Render from view1. Warp renders a mesh from a JITTERED pose, which
+    # stretches screen-space triangle spans — the span-sensitive full-dense
+    # per-row raster measured ~2x slower here (pair 20.7 vs 12.2 ms,
+    # bench_warp.py), so both warp renders pin the hybrid fragment path.
     res = rend.render_simple(
         mesh0, rgbd[..., :3], modelview1, fov, render_size,
-        render_near, render_far, has_skirt=has_skirt0,
+        render_near, render_far, has_skirt=has_skirt0, raster_mode="hybrid",
     )
     color1 = im.resize_lanczos_8bit(res["color"], s)
     depth1 = im.ssaa_subsample(res["depth"], ssaa)
@@ -83,7 +86,7 @@ def forward_backward_warp(
     )
     res = rend.render_simple(
         mesh1, color1, modelview0, fov, render_size,
-        render_near, render_far, has_skirt=False,
+        render_near, render_far, has_skirt=False, raster_mode="hybrid",
     )
     color = im.resize_lanczos_8bit(res["color"], s)
     depth = im.ssaa_subsample(res["depth"], ssaa)
