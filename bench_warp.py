@@ -113,6 +113,17 @@ def main():
     t = timed(scan(lambda e: im.resize_lanczos_8bit(res["color"] + e, S)))
     print(f"resize_lanczos_8bit (384->128):      {t:7.2f} ms")
 
+    # Batched warp groups (the trainer's production path): per-sample ms.
+    for g in (4, 8):
+        rgbds = jnp.stack([rgbd + 0.001 * i for i in range(g)])
+        mv1s = jnp.stack(
+            [cam.orbit_modelview(0.2 + 0.02 * i, 0.1) for i in range(g)]
+        )
+        t = timed(scan(lambda e: warp_ops.forward_backward_warp_batch(
+            rgbds + e, mv1s, padding=S, near=0.5, far=100.0)))
+        print(f"forward_backward_warp_batch (G={g}):  {t:7.2f} ms"
+              f"  ({t / g:6.2f} ms/sample)")
+
 
 if __name__ == "__main__":
     main()

@@ -145,12 +145,13 @@ def resolve_zbuffer_scatter(
     fragments: Sequence[FragmentBatch],
     payloads: Sequence[jnp.ndarray],
     render_size: int,
+    num_buffers: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Scatter-based depth test (reference semantics; see
     :func:`resolve_zbuffer`). Kept for cross-checking — XLA:TPU scatters
     serialize and dominate render time; the sorted resolve below is the
-    production path."""
-    npix = render_size * render_size
+    production path. ``num_buffers``: see :func:`resolve_zbuffer`."""
+    npix = num_buffers * render_size * render_size
     pix = jnp.concatenate([f.pixel for f in fragments])
     d = jnp.concatenate([f.depth for f in fragments])
     valid = jnp.concatenate([f.valid for f in fragments])
@@ -170,8 +171,19 @@ def resolve_zbuffer_scatter(
     covered = jnp.isfinite(zbuf[:npix])
     depth_win = jnp.where(covered, zbuf[:npix], 1.0)
 
+    return _flip_to_image_rows(out, depth_win, covered, render_size, num_buffers)
+
+
+def _flip_to_image_rows(out, depth_win, covered, render_size, num_buffers):
+    """Reshape flat framebuffers and flip GL bottom-up rows to image top-down
+    rows (per buffer when batched)."""
     r = render_size
-    # Flip from GL bottom-up rows to image top-down rows.
+    if num_buffers > 1:
+        b = num_buffers
+        out = jnp.flip(out.reshape(b, r, r, -1), axis=1)
+        depth_win = jnp.flip(depth_win.reshape(b, r, r), axis=1)
+        covered = jnp.flip(covered.reshape(b, r, r), axis=1)
+        return out, depth_win, covered
     out = jnp.flip(out.reshape(r, r, -1), axis=0)
     depth_win = jnp.flip(depth_win.reshape(r, r), axis=0)
     covered = jnp.flip(covered.reshape(r, r), axis=0)
@@ -223,6 +235,7 @@ def resolve_zbuffer_sorted(
     fragments: Sequence[FragmentBatch],
     payloads: Sequence[jnp.ndarray],
     render_size: int,
+    num_buffers: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Depth-test all fragment batches into one framebuffer — sort-based,
     scatter-free (TPU-native: XLA:TPU scatters serialize; sort + segmented
@@ -236,7 +249,7 @@ def resolve_zbuffer_sorted(
     ``payloads[i]`` is [N_i, K]. Returns ``(payload [R,R,K], depth_win [R,R],
     covered [R,R])`` in image row order (row 0 = top; GL readback flip,
     reference: moderngl_renderer.py:124-140)."""
-    npix = render_size * render_size
+    npix = num_buffers * render_size * render_size
     pix = jnp.concatenate([f.pixel for f in fragments])
     d = jnp.concatenate([f.depth for f in fragments])
     valid = jnp.concatenate([f.valid for f in fragments])
@@ -276,19 +289,21 @@ def resolve_zbuffer_sorted(
     covered = covered_flat & jnp.isfinite(zbuf)
     depth_win = jnp.where(covered, zbuf, 1.0)
 
-    r = render_size
-    out = jnp.flip(out.reshape(r, r, -1), axis=0)
-    depth_win = jnp.flip(depth_win.reshape(r, r), axis=0)
-    covered = jnp.flip(covered.reshape(r, r), axis=0)
-    return out, depth_win, covered
+    return _flip_to_image_rows(out, depth_win, covered, render_size, num_buffers)
 
 
 def resolve_zbuffer(
     fragments: Sequence[FragmentBatch],
     payloads: Sequence[jnp.ndarray],
     render_size: int,
+    num_buffers: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Default depth-test resolve.
+
+    ``num_buffers`` > 1 resolves B independent framebuffers in ONE pass:
+    fragments carry GLOBAL pixel ids ``b·R² + y·R + x`` and the outputs gain
+    a leading buffer axis — batching the per-sample warp renders this way
+    amortizes the sort/kernel launches instead of ``lax.map``-ing them.
 
     On TPU the tile-parallel Pallas kernel (:mod:`ivid_tpu.ops.raster_tiled`)
     is the production path — measured 3.0 ms per 733k-fragment 384² raster on
@@ -315,7 +330,7 @@ def resolve_zbuffer(
         if choice == "tiled":
             from ivid_tpu.ops import raster_tiled
 
-            npix = render_size * render_size
+            npix = num_buffers * render_size * render_size
             # The tiled kernel requires P-aligned framebuffers and exact f32
             # pixel keys (npix < 2^24); fall back rather than assert on
             # non-standard render sizes.
@@ -327,11 +342,17 @@ def resolve_zbuffer(
         return resolve_zbuffer_tiled(
             fragments, payloads, render_size,
             interpret=jax.default_backend() != "tpu",
+            num_buffers=num_buffers,
         )
     if choice == "replay":
         from ivid_tpu.ops.raster_pallas import resolve_zbuffer_pallas
 
+        assert num_buffers == 1, "replay resolve is single-buffer only"
         return resolve_zbuffer_pallas(fragments, payloads, render_size)
     if choice == "sorted":
-        return resolve_zbuffer_sorted(fragments, payloads, render_size)
-    return resolve_zbuffer_scatter(fragments, payloads, render_size)
+        return resolve_zbuffer_sorted(
+            fragments, payloads, render_size, num_buffers=num_buffers
+        )
+    return resolve_zbuffer_scatter(
+        fragments, payloads, render_size, num_buffers=num_buffers
+    )

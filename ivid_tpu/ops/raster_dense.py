@@ -171,6 +171,78 @@ def rasterize_tris_dense(
     return _dispatch(pln, render_size, block_px, interpret)
 
 
+def rasterize_tris_dense_batched(
+    win: jnp.ndarray,
+    w: jnp.ndarray,
+    attrs: jnp.ndarray,
+    tris: jnp.ndarray,
+    render_size: int,
+    discard_attr: Optional[int] = None,
+    interpret: bool = False,
+) -> DenseRaster:
+    """Rasterize one triangle set per vertex set (e.g. one skirt ring per
+    warp sample) into B stacked framebuffers with ONE kernel launch.
+    ``win`` [B,V,3], ``w`` [B,V], ``attrs`` [B,V,A]; ``tris`` [T,3] shared
+    indices or [B,T,3] per-sample (depth-mesh diagonal splits are
+    data-dependent). Returns a DenseRaster over ``B·r²`` flat pixels —
+    buffer b owns ids ``[b·r², (b+1)·r²)``, matching the global ids of the
+    batched fragment resolve (`raster.resolve_zbuffer(num_buffers=B)`) so
+    `merge_dense` applies per buffer."""
+    B = win.shape[0]
+    T = tris.shape[-2]
+    if tris.ndim == 2:
+        p, fw, fa = win[:, tris], w[:, tris], attrs[:, tris]
+    else:
+        gather = jax.vmap(lambda v, t: v[t])
+        p, fw, fa = gather(win, tris), gather(w, tris), gather(attrs, tris)
+    pln = _planes_from_corners(
+        p.reshape(B * T, 3, 3),
+        fw.reshape(B * T, 3),
+        fa.reshape(B * T, 3, attrs.shape[-1]),
+        discard_attr,
+    )
+
+    def rs(x):
+        return x.reshape((B, T) + x.shape[1:])
+
+    plnb = {
+        k: (rs(v) if k not in ("A", "dnum") else v) for k, v in pln.items()
+    }
+    if pln["dnum"] is not None:
+        plnb["dnum"] = tuple(rs(v) for v in pln["dnum"])
+
+    import os
+
+    impl = os.environ.get("IVID_TPU_SKIRT_IMPL", "auto")
+    use_pallas = impl != "xla" and (
+        interpret or jax.default_backend() == "tpu" or impl == "pallas"
+    )
+    if use_pallas:
+        return _pallas_raster_batched(plnb, render_size, interpret=interpret)
+
+    # XLA fallback (CPU tests): per-sample block raster, concatenated flat.
+    def one(p):
+        d = dict(p)
+        d["A"] = pln["A"]
+        if "dnum_stack" in d:
+            d["dnum"] = tuple(d.pop("dnum_stack"))
+        else:
+            d["dnum"] = None
+        r = render_size
+        return _xla_raster(d, r, r * r, 2048)
+
+    pv = {k: v for k, v in plnb.items() if k not in ("A", "dnum")}
+    if plnb["dnum"] is not None:
+        pv["dnum_stack"] = jnp.stack(plnb["dnum"], 1)
+    outs = jax.lax.map(one, pv)
+    return DenseRaster(
+        attrs=outs.attrs.reshape(-1, outs.attrs.shape[-1]),
+        depth=outs.depth.reshape(-1),
+        front=outs.front.reshape(-1),
+        covered=outs.covered.reshape(-1),
+    )
+
+
 def rasterize_grid_dense(
     win: jnp.ndarray,
     w: jnp.ndarray,
@@ -197,6 +269,72 @@ def rasterize_grid_dense(
         corners[..., :3], corners[..., 3], corners[..., 4:], discard_attr
     )
     return _dispatch(pln, render_size, block_px, interpret)
+
+
+def rasterize_grid_dense_batched(
+    win: jnp.ndarray,
+    w: jnp.ndarray,
+    attrs: jnp.ndarray,
+    positions: jnp.ndarray,
+    grid_size: int,
+    render_size: int,
+    discard_attr: Optional[int] = None,
+    interpret: bool = False,
+) -> DenseRaster:
+    """B regular-grid depth meshes (e.g. one per aggregation view slot) in
+    ONE per-row kernel launch — the batched form of
+    :func:`rasterize_grid_dense`. ``win`` [B,V,3], ``w`` [B,V], ``attrs``
+    [B,V,A], ``positions`` [B,V,3]. Buffer b owns flat pixels
+    ``[b·r², (b+1)·r²)``; per-buffer plane tables stream through VMEM one
+    buffer at a time (geom ≈ 6.4 MB per 130² mesh)."""
+    from ivid_tpu.ops.geometry import triangulate_face_type
+
+    g = grid_size
+    B = win.shape[0]
+
+    def corners_one(win_v, w_v, attrs_v, pos_v):
+        ft = triangulate_face_type(pos_v.reshape(g, g, 3))
+        packed = jnp.concatenate([win_v, w_v[:, None], attrs_v], axis=-1)
+        return grid_tri_corners(packed, g, ft)
+
+    corners = jax.vmap(corners_one)(win, w, attrs, positions)  # [B,T,3,4+A]
+    T = corners.shape[1]
+    pln = _planes_from_corners(
+        corners[..., :3].reshape(B * T, 3, 3),
+        corners[..., 3].reshape(B * T, 3),
+        corners[..., 4:].reshape(B * T, 3, corners.shape[-1] - 4),
+        discard_attr,
+    )
+
+    def rs(x):
+        return x.reshape((B, T) + x.shape[1:])
+
+    plnb = {
+        k: (rs(v) if k not in ("A", "dnum") else v) for k, v in pln.items()
+    }
+    if pln["dnum"] is not None:
+        plnb["dnum"] = tuple(rs(v) for v in pln["dnum"])
+
+    import os
+
+    impl = os.environ.get("IVID_TPU_SKIRT_IMPL", "auto")
+    use_pallas = impl != "xla" and (
+        interpret or jax.default_backend() == "tpu" or impl == "pallas"
+    )
+    if use_pallas:
+        return _pallas_raster_batched(plnb, render_size, interpret=interpret)
+
+    def one(args):
+        return rasterize_grid_dense(*args, g, render_size,
+                                    discard_attr=discard_attr)
+
+    outs = jax.lax.map(one, (win, w, attrs, positions))
+    return DenseRaster(
+        attrs=outs.attrs.reshape(-1, outs.attrs.shape[-1]),
+        depth=outs.depth.reshape(-1),
+        front=outs.front.reshape(-1),
+        covered=outs.covered.reshape(-1),
+    )
 
 
 def _dispatch(pln, render_size, block_px, interpret):
@@ -289,6 +427,16 @@ def _xla_raster(pln, r, npix, block_px):
 
 def _dense_kernel(lohi_ref, span_ref, glob_ref, geom_ref, pay_ref, out_ref,
                   zbuf_s, acc_s, *, r):
+    """See :func:`_dense_kernel_impl`; single-buffer grid ``(r,)``."""
+    _dense_kernel_impl(
+        lohi_ref, span_ref, glob_ref, geom_ref, pay_ref, out_ref,
+        zbuf_s, acc_s, r=r, rows_per_buf=None,
+    )
+
+
+def _dense_kernel_impl(lohi_ref, span_ref, glob_ref, geom_ref, pay_ref,
+                       out_ref, zbuf_s, acc_s, *, r, rows_per_buf,
+                       chunks_per_buf=None):
     """One framebuffer ROW vs its y-overlapping triangle chunks.
 
     One program per row: ``qy`` is a per-program constant, so a plane
@@ -304,8 +452,8 @@ def _dense_kernel(lohi_ref, span_ref, glob_ref, geom_ref, pay_ref, out_ref,
     winner sums AND the count column, which the tie-average normalization
     cancels exactly.
 
-    lohi_ref: SMEM [r, 2] — this row's y-band chunk range.
-    span_ref: SMEM [nc, 2] — per-chunk integer window-y span.
+    lohi_ref: SMEM [2, r] — per-row y-band chunk ranges (lo row 0, hi row 1).
+    span_ref: SMEM [2, nc] — per-chunk integer window-y spans.
     glob_ref: SMEM [2] — big-triangle chunk range (shared by all rows).
     geom_ref: VMEM [nc·8, 6·TC] — rows 0-2 of each 8-row chunk group are
         (x-coef, y-coef, const); plane order e0, e1, e2, z, D, front with
@@ -314,16 +462,41 @@ def _dense_kernel(lohi_ref, span_ref, glob_ref, geom_ref, pay_ref, out_ref,
     pay_ref:  VMEM [nc·PWP, TC] — payload planes per chunk (attr/w planes,
         1/w plane, front, ones), tri-major on lanes.
     out_ref:  VMEM [1, r, 1+PWP] — col 0 zbuf, 1.. tie-summed planes.
+
+    Batched form (``rows_per_buf`` set): the grid is ``(B·r,)`` over B
+    stacked framebuffers; program ``t`` rasterizes LOCAL row ``t % r`` of
+    buffer ``b = t // r``. Triangle planes stay in each buffer's own window
+    coords; ``geom_ref``/``pay_ref`` are PER-BUFFER blocks (index ``t // r``,
+    so VMEM holds one buffer's tables at a time and consecutive rows of the
+    same buffer reuse the resident block), ``lohi``/``glob`` hold LOCAL
+    chunk ids, ``span`` is the stacked [2, B·nc] table indexed at
+    ``b·chunks_per_buf + c``. Buffer isolation is structural — row programs
+    only ever loop over their own buffer's chunk ranges.
     """
     t = pl.program_id(0)
+    # Prefetch arrays are [2, N] (pairs on sublanes): SMEM pads the LAST axis
+    # to 128 lanes, so an [N, 2] layout would blow the 1 MB SMEM budget at
+    # batched sizes (8·384 rows × 128-lane pad × 4 B = 1.5 MB, measured).
+    if rows_per_buf is None:
+        ty = t
+        glob_lo, glob_hi = glob_ref[0], glob_ref[1]
+        span_off = 0
+    else:
+        b = t // rows_per_buf
+        ty = t - b * rows_per_buf
+        glob_lo, glob_hi = glob_ref[0, b], glob_ref[1, b]
+        span_off = b * chunks_per_buf
     qx = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0).astype(jnp.float32) + 0.5
-    qy = t.astype(jnp.float32) + 0.5
+    qy = ty.astype(jnp.float32) + 0.5
 
     zbuf_s[...] = jnp.full((r, 1), _FAR, jnp.float32)
     acc_s[...] = jnp.zeros((r, _PWP), jnp.float32)
 
     def chunk(c, carry):
-        @pl.when((span_ref[c, 0] <= t) & (span_ref[c, 1] >= t))
+        @pl.when(
+            (span_ref[0, span_off + c] <= ty)
+            & (span_ref[1, span_off + c] >= ty)
+        )
         def _():
             g = geom_ref[pl.ds(c * 8, 8), :]           # [8, 6·TC]
             row = qy * g[1:2, :] + g[2:3, :]           # [1, 6·TC]
@@ -355,16 +528,19 @@ def _dense_kernel(lohi_ref, span_ref, glob_ref, geom_ref, pay_ref, out_ref,
             zbuf_s[...] = jnp.minimum(zbuf, zc)
         return carry
 
-    jax.lax.fori_loop(lohi_ref[t, 0], lohi_ref[t, 1], chunk, 0)
-    jax.lax.fori_loop(glob_ref[0], glob_ref[1], chunk, 0)
+    jax.lax.fori_loop(lohi_ref[0, t], lohi_ref[1, t], chunk, 0)
+    jax.lax.fori_loop(glob_lo, glob_hi, chunk, 0)
     out_ref[0, :, 0:1] = zbuf_s[...]
     out_ref[0, :, 1:] = acc_s[...]
 
 
-def _pallas_raster(pln, r, interpret=False) -> DenseRaster:
-    A = pln["A"]
+def _pallas_prep(pln, r, A):
+    """Host-side packing for the per-row kernel: y-sort with big-span split,
+    chunked plane tables, per-row chunk ranges. Returns
+    ``(lohi [r,2], spans [nc,2], glob [2], geom [nc·8, 6TC], pay [nc·PWP, TC])``
+    — all in LOCAL chunk ids / window y, so the batched launcher can stack B
+    preps and offset the chunk ids."""
     T = pln["front"].shape[0]
-    npix = r * r
     nc = -(-T // _TC)
     Tp = nc * _TC
     pad = Tp - T
@@ -482,6 +658,15 @@ def _pallas_raster(pln, r, interpret=False) -> DenseRaster:
     ).astype(jnp.int32)
 
     glob = jnp.stack([n_small // _TC, -(-n_valid // _TC)]).astype(jnp.int32)
+    return lohi, spans, glob, geom, pay
+
+
+def _pallas_raster(pln, r, interpret=False) -> DenseRaster:
+    A = pln["A"]
+    npix = r * r
+    lohi, spans, glob, geom, pay = _pallas_prep(pln, r, A)
+    lohi, spans = lohi.T, spans.T  # [2, N] — see the kernel's SMEM note
+    nc = geom.shape[0] // 8
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -505,7 +690,77 @@ def _pallas_raster(pln, r, interpret=False) -> DenseRaster:
         interpret=interpret,
     )(lohi, spans, glob, geom, pay)
 
-    out = out.reshape(npix, 1 + _PWP)
+    return _pallas_finish(out.reshape(npix, 1 + _PWP), r, npix, A)
+
+
+def _pallas_raster_batched(pln, r, interpret=False) -> DenseRaster:
+    """B stacked framebuffers in ONE kernel launch; ``pln`` fields carry a
+    leading [B, T, ...] batch axis. Grid ``(B·r,)``: program ``t`` does local
+    row ``t % r`` of buffer ``t // r`` over that buffer's chunk ranges (ids
+    offset by ``b·nc`` on the host). Returns a DenseRaster over ``B·r·r``
+    flat pixels — buffer b occupies ids ``[b·r², (b+1)·r²)`` in the same
+    window order as the single-buffer raster, matching the batched fragment
+    resolve's global pixel ids."""
+    A = pln["A"]
+    B = pln["front"].shape[0]
+    npix = B * r * r
+
+    def prep(p):
+        d = dict(p)
+        d["A"] = A
+        if d.get("dnum_stack") is not None:
+            d["dnum"] = tuple(d.pop("dnum_stack"))
+        else:
+            d.pop("dnum_stack", None)
+            d["dnum"] = None
+        return _pallas_prep(d, r, A)
+
+    # vmap over the batch: dict fields are [B, ...] arrays; 'A'/'dnum' are
+    # re-attached inside (vmap carries only arrays).
+    pv = {k: v for k, v in pln.items() if k not in ("A", "dnum")}
+    if pln["dnum"] is not None:
+        # [B, 3, T] so vmap's axis-0 mapping keeps the batch leading.
+        pv["dnum_stack"] = jnp.stack(pln["dnum"], 1)
+    lohi, spans, glob, geom, pay = jax.vmap(prep)(pv)
+
+    nc = geom.shape[1] // 8  # chunks per buffer
+    # lohi/glob keep LOCAL chunk ids — geom/pay are PER-BUFFER VMEM blocks
+    # (index t // r), so the resident table always belongs to the program's
+    # buffer; only the span table is stacked and indexed at b·nc + c.
+    # [2, N] layouts — see the kernel's SMEM note.
+    lohi = lohi.reshape(B * r, 2).T
+    glob = glob.reshape(B, 2).T
+    spans = spans.reshape(B * nc, 2).T
+    geom = geom.reshape(B * nc * 8, 6 * _TC)
+    pay = pay.reshape(B * nc * _PWP, _TC)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B * r,),
+        in_specs=[
+            pl.BlockSpec((nc * 8, 6 * _TC), lambda t, lh, sp, gl: (t // r, 0)),
+            pl.BlockSpec((nc * _PWP, _TC), lambda t, lh, sp, gl: (t // r, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, r, 1 + _PWP), lambda t, lh, sp, gl: (t, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((r, 1), jnp.float32),
+            pltpu.VMEM((r, _PWP), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        lambda lh, sp, gl, g_ref, p_ref, o_ref, zs, as_: _dense_kernel_impl(
+            lh, sp, gl, g_ref, p_ref, o_ref, zs, as_, r=r, rows_per_buf=r,
+            chunks_per_buf=nc,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B * r, r, 1 + _PWP), jnp.float32),
+        interpret=interpret,
+    )(lohi, spans, glob, geom, pay)
+
+    return _pallas_finish(out.reshape(npix, 1 + _PWP), r, npix, A)
+
+
+def _pallas_finish(out, r, npix, A):
     zbuf = out[:, 0]
     acc = out[:, 1:]
     covered = zbuf < 1.5
@@ -513,7 +768,9 @@ def _pallas_raster(pln, r, interpret=False) -> DenseRaster:
     sel = acc / jnp.maximum(cnt, 1.0)[:, None]
     pid = jnp.arange(npix)
     qx = (pid % r).astype(jnp.float32) + 0.5
-    qy = (pid // r).astype(jnp.float32) + 0.5
+    # LOCAL window row (mod r covers the batched multi-buffer layout, where
+    # buffer b owns flat pixels [b·r², (b+1)·r²) and planes are per-buffer).
+    qy = ((pid // r) % r).astype(jnp.float32) + 0.5
     s_aa, s_ab, s_ac = sel[:, :A], sel[:, A:2 * A], sel[:, 2 * A:3 * A]
     num = qx[:, None] * s_aa + qy[:, None] * s_ab + s_ac
     den = qx * sel[:, 3 * A] + qy * sel[:, 3 * A + 1] + sel[:, 3 * A + 2]

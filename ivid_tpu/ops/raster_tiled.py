@@ -123,18 +123,25 @@ def _tile_kernel(bounds_ref, data_ref, out_ref, buf, sem):
 
 def resolve_zbuffer_tiled(
     fragments: Sequence, payloads: Sequence[jnp.ndarray], render_size: int,
-    interpret: bool = False,
+    interpret: bool = False, num_buffers: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Drop-in for :func:`ivid_tpu.ops.raster.resolve_zbuffer` (payload K ≤ 4).
 
     Returns ``(payload [R,R,K3], depth_win [R,R], covered [R,R])`` in image row
     order, tie-averaged like the scatter resolve.
-    """
-    npix = render_size * render_size
+
+    ``num_buffers`` resolves B independent framebuffers in ONE sort + ONE
+    kernel launch: fragments carry GLOBAL pixel ids ``b·R² + y·R + x``
+    (invalid → ``B·R²``), and the leading output axis is the buffer. Tiles
+    never straddle buffers (R² is a multiple of P), so the per-tile kernel is
+    unchanged — batching costs nothing but the longer sort."""
+    npix = num_buffers * render_size * render_size
     assert npix % P == 0, f"render_size² must be a multiple of {P}"
     # Pixel keys ride through the kernel as f32; beyond 2^24 distinct ids
     # would round together and silently mis-bin fragments.
-    assert npix < 2**24, f"render_size {render_size} exceeds exact-f32 pixel ids"
+    assert npix < 2**24, (
+        f"{num_buffers} x {render_size}² exceeds exact-f32 pixel ids"
+    )
     ntiles = npix // P
 
     cat = lambda xs, **kw: xs[0] if len(xs) == 1 else jnp.concatenate(xs, **kw)
@@ -199,6 +206,12 @@ def resolve_zbuffer_tiled(
     outp = jnp.where(covered[:, None], pay / jnp.maximum(cnt, 1.0)[:, None], 0.0)
 
     r = render_size
+    if num_buffers > 1:
+        b = num_buffers
+        outp = jnp.flip(outp.reshape(b, r, r, -1), axis=1)
+        depth_win = jnp.flip(depth_win.reshape(b, r, r), axis=1)
+        covered = jnp.flip(covered.reshape(b, r, r), axis=1)
+        return outp, depth_win, covered
     outp = jnp.flip(outp.reshape(r, r, -1), axis=0)
     depth_win = jnp.flip(depth_win.reshape(r, r), axis=0)
     covered = jnp.flip(covered.reshape(r, r), axis=0)

@@ -346,6 +346,202 @@ def render_simple(
     }
 
 
+def render_simple_batch(
+    mesh: Mesh,
+    color: jnp.ndarray,
+    modelview: jnp.ndarray,
+    fov: float = 45.0,
+    render_size: int = 384,
+    near: float = 0.01,
+    far: float = 200.0,
+    interior_level: int = 4,
+    has_skirt: bool = True,
+) -> dict:
+    """B independent :func:`render_simple` calls fused into ONE raster pass
+    (the cond trainer's warp synthesis runs one pair per batch sample —
+    reference hides this in CPU dataloader workers, datasets/base.py:215-238;
+    here the per-sample sorts/kernel launches amortize instead).
+
+    ``mesh`` fields carry a leading batch axis ([B,V,3] positions, [B,F,3]
+    faces — topology may differ per sample, the diagonal split is
+    data-dependent); ``color`` [B,s,s,3]; ``modelview`` [B,4,4]. Always the
+    HYBRID fragment path (warp renders measured faster there — see
+    `_raster_mesh`): interior faces become fragments with GLOBAL pixel ids
+    ``b·R² + y·R + x`` resolved in one pass (`resolve_zbuffer(num_buffers)`),
+    the skirt rings go through one batched per-row dense raster. Returns
+    ``color``/``depth``/``mask`` with a leading batch axis."""
+    B = mesh.positions.shape[0]
+    grid_size = int(round(np.sqrt(mesh.positions.shape[1])))
+    npix = render_size * render_size
+    proj = cam.perspective(fov, 1.0, near, far)
+    win, w = jax.vmap(
+        lambda p, mv: raster.project_vertices(p, proj @ mv, render_size)
+    )(mesh.positions, modelview)
+
+    flags = _unpacked_flags(mesh.flag)
+    attrs = jnp.concatenate([mesh.uv, flags[..., :1]], axis=-1)  # [B,V,3]
+
+    dense_skirt = has_skirt and _skirt_mode() == "dense"
+    if dense_skirt:
+        int_idx, ring_idx = _ring_face_split(grid_size)
+        int_faces = mesh.faces[:, jnp.asarray(int_idx)]
+        ring_faces = mesh.faces[:, jnp.asarray(ring_idx)]
+    else:
+        int_faces, ring_faces = mesh.faces, None
+
+    off = (jnp.arange(B, dtype=jnp.int32) * npix)[:, None]
+
+    def flatten(frag):
+        """Sample-local fragments → one batch with GLOBAL pixel ids."""
+        return raster.FragmentBatch(
+            pixel=jnp.where(frag.valid, frag.pixel + off, B * npix).reshape(-1),
+            depth=frag.depth.reshape(-1),
+            attrs=frag.attrs.reshape(-1, frag.attrs.shape[-1]),
+            front=frag.front.reshape(-1),
+            valid=frag.valid.reshape(-1),
+        )
+
+    flats = [
+        flatten(jax.vmap(
+            lambda wn, ww, aa, ff: raster.generate_fragments(
+                wn, ww, aa, ff, render_size, interior_level
+            )
+        )(win, w, attrs, int_faces))
+    ]
+    if has_skirt and not dense_skirt:  # lattice skirt (A/B fallback)
+        n = grid_size - 1
+        i, j = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+        on_i = (i == 0) | (i == n - 1)
+        on_j = (j == 0) | (j == n - 1)
+        corner = on_i & on_j
+        skirt_level = 192
+        for mask, li, lj in (
+            (on_i & ~corner, skirt_level, 2),
+            (on_j & ~corner, 2, skirt_level),
+            (corner, skirt_level, skirt_level),
+        ):
+            flats.append(flatten(jax.vmap(
+                lambda wn, ww, aa: _quad_fragments(
+                    wn, ww, aa, grid_size, render_size, mask, li, lj
+                )
+            )(win, w, attrs)))
+    payloads = [_simple_payload(f.attrs, f.front) for f in flats]
+    fb, depth_win, covered = raster.resolve_zbuffer(
+        flats, payloads, render_size, num_buffers=B
+    )
+
+    if ring_faces is not None:
+        sk = raster_dense.rasterize_tris_dense_batched(
+            win, w, attrs, ring_faces, render_size
+        )
+        sk_payload = _simple_payload(sk.attrs, sk.front)
+        per = lambda x: x.reshape((B, npix) + x.shape[1:])
+        skb = raster_dense.DenseRaster(
+            attrs=per(sk.attrs), depth=per(sk.depth),
+            front=per(sk.front), covered=per(sk.covered),
+        )
+        fb, depth_win, covered = jax.vmap(
+            lambda p, dw, cv, sp, s: raster_dense.merge_dense(
+                p, dw, cv, sp, s, render_size
+            )
+        )(fb, depth_win, covered, per(sk_payload), skb)
+
+    front_mask = fb[..., 3:4] > 0.5
+    rgb = jax.vmap(_texture_nearest)(color, fb[..., 0:2]) * front_mask
+    depth = near * far / (far - depth_win * (far - near))
+    return {
+        "color": rgb,
+        "depth": depth[..., None],
+        "mask": fb[..., 2:3] > 0.5,
+    }
+
+
+def _simple_payload(attrs: jnp.ndarray, front) -> jnp.ndarray:
+    """render_simple's fragment payload (uv, alpha, frontness) — see the
+    shader-semantics note in :func:`render_simple`."""
+    if front.dtype == jnp.bool_:
+        frontf = front.astype(jnp.float32)
+        alpha = jnp.where(front & (attrs[:, 2] <= 0.999), 1.0, 0.0)
+    else:
+        frontf = front
+        alpha = jnp.where((front > 0.5) & (attrs[:, 2] <= 0.999), 1.0, 0.0)
+    return jnp.concatenate(
+        [attrs[:, 0:2], alpha[:, None], frontf[:, None]], axis=-1
+    )
+
+
+def _aggregation_attrs(mesh: Mesh) -> jnp.ndarray:
+    """Per-vertex aggregation attributes: uv(2), edge/pad/eroded flags(3),
+    view-angle weight(1).
+
+    The weight is computed per VERTEX and interpolated, instead of per
+    fragment from interpolated normal/position (the GL shader does the
+    latter, aggregation.fsh:28-35). Depth-mesh faces are ~1 SSAA pixel wide,
+    so interpolating the weight across a face is indistinguishable — and it
+    drops 6 attribute channels and ~1M transcendentals per raster."""
+    flags = _unpacked_flags(mesh.flag)
+    sample_camera = cam.camera_position(mesh.modelview)
+    direction = sample_camera[None, :] - mesh.positions
+    direction = direction / jnp.maximum(
+        jnp.linalg.norm(direction, axis=-1, keepdims=True), 1e-12
+    )
+    nrm = mesh.normal / jnp.maximum(
+        jnp.linalg.norm(mesh.normal, axis=-1, keepdims=True), 1e-12
+    )
+    cos = jnp.clip(jnp.sum(direction * nrm, axis=-1), 0.0, 1.0)
+    wgt_vertex = jnp.exp(jnp.maximum(-20.0 * jnp.arccos(cos), -50.0))
+    return jnp.concatenate([mesh.uv, flags, wgt_vertex[:, None]], axis=-1)
+
+
+def _agg_alpha(edge, padding, eroded, wgt_raw, front):
+    """Aggregation fragment-shader weighting (aggregation.fsh:28-49)."""
+    wgt = jnp.maximum(wgt_raw, 1e-4)
+    wgt = jnp.where(eroded >= 0.999, wgt * 1e-8, wgt)
+    wgt = jnp.where((padding > 0.001) | (edge > 0.999), 1e-16, wgt)
+    wgt = jnp.maximum(wgt, 1e-16)
+    # Backfaces (when not discarded) write depth with zero weight
+    # (aggregation.fsh:22-26).
+    return jnp.where(front, wgt, 0.0)
+
+
+def _aggregation_view_buffers_all(
+    meshes: Mesh,
+    colors: jnp.ndarray,
+    modelview: jnp.ndarray,
+    projection: jnp.ndarray,
+    render_size: int,
+):
+    """ALL N view slots rastered into their own z-buffers by ONE batched
+    per-row dense launch (full-raster mode): the per-slot kernel dispatches
+    and the plane-building / texture / weighting glue amortize across the
+    slot bucket instead of paying per view. Returns
+    (rgb [N,R,R,3], alpha [N,R,R], window depth [N,R,R]) — identical to N
+    `_aggregation_view_buffers` calls in full mode."""
+    n = meshes.positions.shape[0]
+    r = render_size
+    grid_size = int(round(np.sqrt(meshes.positions.shape[1])))
+    attrs = jax.vmap(_aggregation_attrs)(meshes)
+    mvp = projection @ modelview
+    win, w = jax.vmap(
+        lambda p: raster.project_vertices(p, mvp, r)
+    )(meshes.positions)
+    sk = raster_dense.rasterize_grid_dense_batched(
+        win, w, attrs, meshes.positions, grid_size, r, discard_attr=3
+    )
+    alpha = _agg_alpha(
+        sk.attrs[:, 2], sk.attrs[:, 3], sk.attrs[:, 4], sk.attrs[:, 5],
+        sk.front,
+    )
+    alpha = jnp.where(sk.covered, alpha, 0.0)
+    depth_win = jnp.where(sk.covered, sk.depth, 1.0)
+    uv = jnp.flip(sk.attrs[:, 0:2].reshape(n, r, r, 2), axis=1)
+    alpha = jnp.flip(alpha.reshape(n, r, r), axis=1)
+    depth_win = jnp.flip(depth_win.reshape(n, r, r), axis=1)
+    cov = jnp.flip(sk.covered.reshape(n, r, r), axis=1)
+    rgb = jax.vmap(_texture_nearest)(colors, uv) * cov[..., None]
+    return rgb, alpha, depth_win
+
+
 def _aggregation_view_buffers(
     mesh: Mesh,
     color: jnp.ndarray,
@@ -359,41 +555,12 @@ def _aggregation_view_buffers(
     """One view's raster into its own z-buffer, with the aggregation fragment
     shader's view-angle weighting (reference: shaders/aggregation.fsh:19-51).
     Returns (rgb [R,R,3], weight alpha [R,R], window depth [R,R])."""
-    flags = _unpacked_flags(mesh.flag)
-
-    # View-angle weight computed per VERTEX and interpolated, instead of per
-    # fragment from interpolated normal/position (the GL shader does the
-    # latter, aggregation.fsh:28-35). Depth-mesh faces are ~1 SSAA pixel wide,
-    # so interpolating the weight across a face is indistinguishable — and it
-    # drops 6 attribute channels and ~1M transcendentals per raster.
-    sample_camera = cam.camera_position(mesh.modelview)
-    direction = sample_camera[None, :] - mesh.positions
-    direction = direction / jnp.maximum(
-        jnp.linalg.norm(direction, axis=-1, keepdims=True), 1e-12
-    )
-    nrm = mesh.normal / jnp.maximum(
-        jnp.linalg.norm(mesh.normal, axis=-1, keepdims=True), 1e-12
-    )
-    cos = jnp.clip(jnp.sum(direction * nrm, axis=-1), 0.0, 1.0)
-    wgt_vertex = jnp.exp(jnp.maximum(-20.0 * jnp.arccos(cos), -50.0))
-
-    attrs = jnp.concatenate(
-        [mesh.uv, flags, wgt_vertex[:, None]], axis=-1
-    )  # uv(2) edge/pad/eroded(3) weight(1)
+    attrs = _aggregation_attrs(mesh)
     frags, dense = _raster_mesh(
         mesh, attrs, modelview, projection, render_size,
         interior_level, skirt_level, has_skirt,
     )
-
-    def agg_alpha(edge, padding, eroded, wgt_raw, front):
-        """Aggregation fragment-shader weighting (aggregation.fsh:28-49)."""
-        wgt = jnp.maximum(wgt_raw, 1e-4)
-        wgt = jnp.where(eroded >= 0.999, wgt * 1e-8, wgt)
-        wgt = jnp.where((padding > 0.001) | (edge > 0.999), 1e-16, wgt)
-        wgt = jnp.maximum(wgt, 1e-16)
-        # Backfaces (when not discarded) write depth with zero weight
-        # (aggregation.fsh:22-26).
-        return jnp.where(front, wgt, 0.0)
+    agg_alpha = _agg_alpha
 
     payloads = []
     new_frags = []
@@ -457,12 +624,32 @@ def render_aggregation(
     projection = cam.perspective(fov, 1.0, near, far)
     r = render_size
 
-    def body(state, view):
-        mesh, color, is_valid = view
-        rgb, alpha, d = _aggregation_view_buffers(
-            mesh, color, modelview, projection, r,
-            interior_level, skirt_level, has_skirt,
+    # Full-raster mode on grid meshes: ONE batched per-row dense launch
+    # rasters every slot's z-buffer (see _aggregation_view_buffers_all);
+    # the scan below then only runs the elementwise accumulation. Mirrors
+    # _raster_mesh's full-mode gate.
+    v_cnt, f_cnt = meshes.positions.shape[1], meshes.faces.shape[1]
+    g = int(round(np.sqrt(v_cnt)))
+    dense_max = int(os.environ.get("IVID_TPU_DENSE_MAX_TRIS", "100000"))
+    batched_full = (
+        _raster_mode() == "full"
+        and g * g == v_cnt and f_cnt == 2 * (g - 1) ** 2 and g >= 3
+        and f_cnt <= dense_max
+    )
+    if batched_full:
+        bufs = _aggregation_view_buffers_all(
+            meshes, colors, modelview, projection, r
         )
+
+    def body(state, view):
+        if batched_full:
+            rgb, alpha, d, is_valid = view
+        else:
+            mesh, color, is_valid = view
+            rgb, alpha, d = _aggregation_view_buffers(
+                mesh, color, modelview, projection, r,
+                interior_level, skirt_level, has_skirt,
+            )
         alpha = alpha * is_valid.astype(alpha.dtype)
 
         acc_rgb, acc_a, acc_d, acc_dw, acc_md, acc_mc = state
@@ -500,8 +687,9 @@ def render_aggregation(
         jnp.zeros((r, r, 3)), jnp.zeros((r, r)), jnp.zeros((r, r)),
         jnp.zeros((r, r)), jnp.zeros((r, r)), jnp.zeros((r, r)),
     )
+    xs = bufs + (valid,) if batched_full else (meshes, colors, valid)
     (acc_rgb, acc_a, acc_d, acc_dw, acc_md, acc_mc), _ = jax.lax.scan(
-        body, init, (meshes, colors, valid)
+        body, init, xs
     )
 
     # Readback normalization (moderngl_renderer.py:318-331).

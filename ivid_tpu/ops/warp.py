@@ -97,6 +97,74 @@ def forward_backward_warp(
     return {"color": color * maskf, "depth": depth * maskf, "mask": maskf}
 
 
+def forward_backward_warp_batch(
+    rgbd: jnp.ndarray,
+    modelview1: jnp.ndarray,
+    modelview0: Optional[jnp.ndarray] = None,
+    padding=None,
+    fov: float = 45.0,
+    near: float = 0.5,
+    far: float = 100.0,
+    mode: str = "z_buffer",
+    atol: float = 0.02,
+    rtol: float = 0.02,
+    ssaa: int = 3,
+    render_near: float = 0.1,
+    render_far: float = 200.0,
+) -> dict:
+    """B :func:`forward_backward_warp` calls fused into two batched raster
+    passes (`renderer.render_simple_batch`): ``rgbd`` [B,s,s,4],
+    ``modelview1`` [B,4,4] (``modelview0`` likewise, default canonical). The
+    per-sample sorts, resolve kernels, and pixel glue all amortize across the
+    batch — this is the cond trainer's warp-synthesis hot path (the reference
+    hides it in CPU dataloader workers, datasets/base.py:215-238). Returns
+    the same dict with a leading batch axis; semantics match the per-sample
+    function (the only difference is fragment summation order inside
+    equal-depth ties)."""
+    B, s = rgbd.shape[0], rgbd.shape[1]
+    render_size = s * ssaa
+    if modelview0 is None:
+        modelview0 = jnp.broadcast_to(default_modelview(), (B, 4, 4))
+
+    mesh0 = jax.vmap(
+        lambda d, mv: geom.depth_to_mesh(
+            geom.linearize_depth(d, near, far, mode),
+            padding=padding, fov=fov, modelview=mv,
+        )
+    )(rgbd[..., 3:], modelview0)
+    has_skirt0 = padding is not None
+
+    res = rend.render_simple_batch(
+        mesh0, rgbd[..., :3], modelview1, fov, render_size,
+        render_near, render_far, has_skirt=has_skirt0,
+    )
+    color1 = jax.vmap(lambda c: im.resize_lanczos_8bit(c, s))(res["color"])
+    depth1 = jax.vmap(lambda d: im.ssaa_subsample(d, ssaa))(res["depth"])
+
+    mesh1 = jax.vmap(
+        lambda d, mv: geom.depth_to_mesh(
+            d, padding=None, fov=fov, modelview=mv, atol=atol, rtol=rtol
+        )
+    )(depth1, modelview1)
+    res = rend.render_simple_batch(
+        mesh1, color1, modelview0, fov, render_size,
+        render_near, render_far, has_skirt=False,
+    )
+
+    def tail(res_color, res_depth, res_mask):
+        color = im.resize_lanczos_8bit(res_color, s)
+        depth = im.ssaa_subsample(res_depth, ssaa)
+        depth = geom.project_depth(depth, near, far, mode)
+        mask = im.coverage_mask(res_mask, ssaa)
+        mask = mask & geom.depth_edge(depth, atol=atol, rtol=rtol)
+        maskf = mask.astype(jnp.float32)
+        return {
+            "color": color * maskf, "depth": depth * maskf, "mask": maskf
+        }
+
+    return jax.vmap(tail)(res["color"], res["depth"], res["mask"])
+
+
 def aggregate_conditions(
     meshes: geom.Mesh,
     colors: jnp.ndarray,

@@ -510,10 +510,22 @@ class InpaintTrainer(FinetuneMixin, BasicTrainer):
 
     def prepare_batch(self, batch, rng):
         """On-device warp-data synthesis (reference: datasets/base.py:215-267):
-        random orbit pose, forward-backward warp, noise/blur/erode augments."""
-        x01 = batch["x_0"] * 0.5 + 0.5  # datasets normalize to [-1,1]
+        random orbit pose, forward-backward warp, noise/blur/erode augments.
 
-        def one(rgbd01, r):
+        The warp runs through `forward_backward_warp_batch` in groups of
+        ``IVID_TPU_WARP_GROUP`` samples (default 8): grouping fuses the
+        per-sample raster sorts/kernels and pixel glue into batched ops
+        (a vmapped Pallas raster is ~2.4x SLOWER — the batched path instead
+        gives fragments global pixel ids and resolves ONE wide framebuffer)
+        while bounding fragment-buffer memory (~130 MB of sort arrays per
+        8-sample group at 128²·3 SSAA). Outputs are identical to a
+        per-sample ``lax.map`` up to fragment summation order inside
+        equal-depth ties."""
+        x01 = batch["x_0"] * 0.5 + 0.5  # datasets normalize to [-1,1]
+        b = x01.shape[0]
+        rngs = jax.random.split(rng, b)
+
+        def pre(rgbd01, r):
             rs = jax.random.split(r, 8)
             rgbd_in = rgbd01
             if "prewarp_noise" in self.augments:
@@ -529,12 +541,27 @@ class InpaintTrainer(FinetuneMixin, BasicTrainer):
                 radius * jnp.cos(phi) * jnp.cos(theta),
             ])
             mv1 = cam.look_at(eye, center, jnp.array([0.0, 1.0, 0.0]))
-            res = warp_ops.forward_backward_warp(
-                rgbd_in, mv1, padding=self.dataset.image_size,
+            return rgbd_in, mv1, jnp.stack([theta, phi])
+
+        rgbd_in, mv1, pose = jax.vmap(pre)(x01, rngs)
+
+        g = int(os.environ.get("IVID_TPU_WARP_GROUP", "8"))
+        g = max(d for d in range(1, min(g, b) + 1) if b % d == 0)
+        res = jax.lax.map(
+            lambda args: warp_ops.forward_backward_warp_batch(
+                args[0], args[1], padding=self.dataset.image_size,
                 near=self.near, far=self.far,
-            )
-            y = jnp.concatenate([res["color"], res["depth"]], axis=-1)
-            mask = res["mask"]
+            ),
+            (
+                rgbd_in.reshape((b // g, g) + rgbd_in.shape[1:]),
+                mv1.reshape(b // g, g, 4, 4),
+            ),
+        )
+        res = jax.tree.map(lambda x: x.reshape((b,) + x.shape[2:]), res)
+
+        def post(rgbd01, r, color, depth, mask):
+            rs = jax.random.split(r, 8)
+            y = jnp.concatenate([color, depth], axis=-1)
 
             if "postwarp_noise" in self.augments:
                 sigma = 0.03 * jax.random.uniform(rs[6], ())
@@ -548,7 +575,7 @@ class InpaintTrainer(FinetuneMixin, BasicTrainer):
                     jnp.where(use_blur, blurred, y[..., :3])
                 )
 
-            out = {"pose": jnp.stack([theta, phi])}
+            out = {}
             if "erode_rgb" in self.augments:
                 # radius ∈ {0..4} uniformly (reference: base.py:250-255).
                 radius = jax.random.randint(extra[2], (), 0, 5)
@@ -567,12 +594,10 @@ class InpaintTrainer(FinetuneMixin, BasicTrainer):
             out.update({"y": y, "mask": mask})
             return out
 
-        rngs = jax.random.split(rng, x01.shape[0])
-        # Sequential batch mapping: the tiled Pallas raster's vmap batching
-        # rule is ~2.4x slower than running samples back-to-back (measured on
-        # v5e: vmap(2) 62 ms vs map(2) 26 ms per warp pair), and sequential
-        # also bounds fragment-buffer memory at one sample (~30 MB).
-        warped = jax.lax.map(lambda args: one(*args), (x01, rngs))
+        warped = jax.vmap(post)(
+            x01, rngs, res["color"], res["depth"], res["mask"]
+        )
+        warped["pose"] = pose
         out = dict(batch)
         out.update(warped)
         return out

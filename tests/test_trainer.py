@@ -180,6 +180,78 @@ def test_inpaint_trainer_warp_in_step(tmp_path):
     assert np.isfinite(float(loss["loss"]))
 
 
+def test_inpaint_prepare_batch_matches_per_sample(tmp_path):
+    """The grouped batched-warp prepare_batch reproduces the per-sample
+    forward_backward_warp composition (same rng schedule, same outputs up to
+    tie summation order)."""
+    from functools import partial
+
+    from ivid_tpu.ops import camera as cam
+    from ivid_tpu.ops import geometry as geom
+    from ivid_tpu.ops import image as im_ops
+    from ivid_tpu.ops import warp as warp_ops
+
+    ds = SyntheticRGBDWarp(
+        image_size=32, length=64, normalize=True, normalize_depth=True,
+        prepocess_depth="z_buffer", augments=["prewarp_noise", "blur", "erode_rgb"],
+    )
+    tr = _make(
+        tmp_path, trainer_cls=InpaintTrainer, framework="InpaintCFG",
+        fw_args={"timesteps": 100, "beta_schedule": "linear", "p_uncond": 0.1,
+                 "p_uncond_img": 0},
+        dataset=ds, backbone={"in_channels": 10},
+    )
+    batch = next(tr.loader)
+    db = {k: jnp.asarray(v) for k, v in batch.items()}
+    rng = jax.random.PRNGKey(7)
+    os.environ["IVID_TPU_WARP_GROUP"] = "4"
+    try:
+        prepared = jax.jit(tr.prepare_batch)(db, rng)
+    finally:
+        del os.environ["IVID_TPU_WARP_GROUP"]
+
+    # Per-sample reference composition (the former lax.map body).
+    def one(rgbd01, r):
+        rs = jax.random.split(r, 8)
+        sigma = 0.005 * jax.random.uniform(rs[0], ())
+        rgbd_in = rgbd01 + sigma * jax.random.normal(rs[1], rgbd01.shape)
+        theta = tr.pose_std * jax.random.normal(rs[2], ())
+        phi = tr.pose_std * jax.random.normal(rs[3], ())
+        radius = 1.0 + 0.1 * jax.random.normal(rs[4], ())
+        center = 0.05 * jax.random.normal(rs[5], (3,))
+        eye = jnp.stack([
+            radius * jnp.cos(phi) * jnp.sin(theta),
+            radius * jnp.sin(phi),
+            radius * jnp.cos(phi) * jnp.cos(theta),
+        ])
+        mv1 = cam.look_at(eye, center, jnp.array([0.0, 1.0, 0.0]))
+        res = warp_ops.forward_backward_warp(
+            rgbd_in, mv1, padding=32, near=tr.near, far=tr.far,
+        )
+        y = jnp.concatenate([res["color"], res["depth"]], axis=-1)
+        mask = res["mask"]
+        extra = jax.random.split(jax.random.fold_in(r, 99), 4)
+        blurred = im_ops.gaussian_blur_random_sigma(extra[0], rgbd01[..., :3])
+        use_blur = jax.random.uniform(extra[1], ()) < 0.8
+        y = y.at[..., :3].set(jnp.where(use_blur, blurred, y[..., :3]))
+        radius = jax.random.randint(extra[2], (), 0, 5)
+        mask_rgb = jax.lax.switch(
+            radius, [partial(geom.erode, radius=rr) for rr in range(5)], mask
+        )
+        y = y.at[..., :3].multiply(mask_rgb)
+        y = y * mask
+        return {"y": y * 2 - 1, "mask": mask, "mask_rgb": mask_rgb,
+                "pose": jnp.stack([theta, phi])}
+
+    x01 = db["x_0"] * 0.5 + 0.5
+    rngs = jax.random.split(rng, x01.shape[0])
+    ref = jax.lax.map(lambda a: one(*a), (x01, rngs))
+    for k in ("y", "mask", "mask_rgb", "pose"):
+        np.testing.assert_allclose(
+            np.asarray(prepared[k]), np.asarray(ref[k]), atol=1e-5, err_msg=k
+        )
+
+
 def test_superres_trainer(tmp_path):
     ds = SyntheticRGBDSR(
         image_size=32, image_size_lr=16, length=64, normalize=True,
