@@ -352,6 +352,63 @@ def _use_split_skip() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _use_fused_head() -> bool:
+    """Output head: fused Pallas GN+SiLU+conv (TPU default) vs the unfused
+    fp32 composition. ``IVID_TPU_FUSED_HEAD=0|1`` overrides (``1`` off-TPU
+    runs the kernel in interpret mode — parity tests)."""
+    import os
+
+    v = os.environ.get("IVID_TPU_FUSED_HEAD", "auto")
+    if v in ("0", "1"):
+        return v == "1"
+    return jax.default_backend() == "tpu"
+
+
+class _ChannelAffine(nn.Module):
+    """Declares ``scale``/``bias`` matching ``nn.GroupNorm``'s param tree."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param(
+            "scale", nn.initializers.ones, (self.features,), jnp.float32
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        return scale, bias
+
+
+class _GN32Params(nn.Module):
+    """Parameter-tree mirror of ``GroupNorm32`` (out_norm/GroupNorm_0/...)
+    for the fused head path, which consumes the params directly."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return _ChannelAffine(self.features, name="GroupNorm_0")()
+
+
+class _HeadConvParams(nn.Module):
+    """Parameter-tree mirror of ``_HeadConv`` (out_conv/{kernel,bias})."""
+
+    features: int
+    in_channels: int
+
+    @nn.compact
+    def __call__(self):
+        kern = self.param(
+            "kernel", nn.initializers.zeros,
+            (3, 3, self.in_channels, self.features), jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        return kern, bias
+
+
 def _attention_impl(seq: int, heads: int, head_dim: int) -> str:
     """Pick the attention implementation for a TPU backend.
 
@@ -593,7 +650,22 @@ class AdmUnet2d(nn.Module):
                     ds *= 2
         assert not hs
 
-        # Output head in fp32 (reference: adm.py:483-487,565-566).
+        # Output head in fp32 (reference: adm.py:483-487,565-566). On TPU the
+        # GN+SiLU+conv composition fuses into one Pallas pass over the bf16
+        # torso output (ops/fused_head.py); param trees are identical.
+        from ivid_tpu.ops import fused_head as _fh
+
+        if _use_fused_head() and _fh.supports_fused_head(
+            h.shape, self.num_groups
+        ):
+            scale, gbias = _GN32Params(h.shape[-1], name="out_norm")()
+            kern, cbias = _HeadConvParams(
+                self.out_channels, h.shape[-1], name="out_conv"
+            )()
+            return _fh.fused_gn_silu_conv(
+                h, scale, gbias, kern, cbias, self.num_groups,
+                interpret=jax.default_backend() != "tpu",
+            )
         h = h.astype(jnp.float32)
         h = nn.silu(GroupNorm32(self.num_groups, name="out_norm")(h))
         return _HeadConv(self.out_channels, name="out_conv")(h)
