@@ -99,6 +99,30 @@ def _head_kernel(cur_ref, top_ref, bot_ref, a_ref, t_ref, kern_ref, cbias_ref,
     out_ref[0] = out
 
 
+def unfused_gn_silu_conv(x, gn_scale, gn_bias, kernel, conv_bias, num_groups):
+    """The unfused composition with the same stats formulation as the fused
+    kernel — the backward pass differentiates through this (XLA ops), so the
+    fused forward needs no hand-written Pallas VJP."""
+    b, h, w, c = x.shape
+    xf = x.astype(jnp.float32)
+    cpg = c // num_groups
+    n = h * w * cpg
+    sg = jnp.sum(xf, axis=(1, 2)).reshape(b, num_groups, cpg).sum(-1)
+    qg = jnp.sum(xf * xf, axis=(1, 2)).reshape(b, num_groups, cpg).sum(-1)
+    mu = sg / n
+    var = jnp.maximum(qg / n - mu * mu, 0.0)
+    inv = jax.lax.rsqrt(var + 1e-5)
+    a = gn_scale[None, :] * jnp.repeat(inv, cpg, axis=1)
+    t = gn_bias[None, :] - jnp.repeat(mu, cpg, axis=1) * a
+    z = xf * a[:, None, None, :] + t[:, None, None, :]
+    z = z * jax.nn.sigmoid(z)
+    y = jax.lax.conv_general_dilated(
+        z, kernel.astype(jnp.float32), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return y + conv_bias.astype(jnp.float32)
+
+
 def fused_gn_silu_conv(
     x: jax.Array,
     gn_scale: jax.Array,
@@ -115,7 +139,55 @@ def fused_gn_silu_conv(
     ``x`` is the bf16 (or fp32) torso output [B, H, W, C]; ``kernel`` is
     HWIO [3, 3, C, F]. Matches ``silu(GroupNorm32(x.astype(f32)))`` followed
     by an fp32 SAME conv (reference: diffusion/backbones/adm.py:483-487).
+    Differentiable: the VJP recomputes through ``unfused_gn_silu_conv``.
     """
+    return _fused_vjp(
+        num_groups, jnp.dtype(mm_dtype).name, bool(interpret),
+        x, gn_scale, gn_bias, kernel, conv_bias,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _fused_vjp(num_groups, mm_dtype_name, interpret, x, gn_scale, gn_bias,
+               kernel, conv_bias):
+    return _fused_forward(
+        x, gn_scale, gn_bias, kernel, conv_bias, num_groups,
+        mm_dtype=jnp.dtype(mm_dtype_name), interpret=interpret,
+    )
+
+
+def _fused_fwd(num_groups, mm_dtype_name, interpret, x, gn_scale, gn_bias,
+               kernel, conv_bias):
+    y = _fused_vjp(
+        num_groups, mm_dtype_name, interpret, x, gn_scale, gn_bias, kernel,
+        conv_bias,
+    )
+    return y, (x, gn_scale, gn_bias, kernel, conv_bias)
+
+
+def _fused_bwd(num_groups, mm_dtype_name, interpret, res, g):
+    x, gn_scale, gn_bias, kernel, conv_bias = res
+    _, pull = jax.vjp(
+        lambda *args: unfused_gn_silu_conv(*args, num_groups), x, gn_scale,
+        gn_bias, kernel, conv_bias,
+    )
+    return pull(g)
+
+
+_fused_vjp.defvjp(_fused_fwd, _fused_bwd)
+
+
+def _fused_forward(
+    x: jax.Array,
+    gn_scale: jax.Array,
+    gn_bias: jax.Array,
+    kernel: jax.Array,
+    conv_bias: jax.Array,
+    num_groups: int,
+    *,
+    mm_dtype=jnp.float32,
+    interpret: bool = False,
+) -> jax.Array:
     b, h, w, c = x.shape
     f = kernel.shape[-1]
     assert supports_fused_head(x.shape, num_groups), (x.shape, num_groups)

@@ -116,3 +116,37 @@ def test_model_fused_head_matches_unfused(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-3
     )
+
+
+def test_fused_head_gradients_match_unfused():
+    from ivid_tpu.ops.fused_head import unfused_gn_silu_conv
+
+    keys = jax.random.split(jax.random.PRNGKey(7), 5)
+    b, h, w, c, f, groups = 1, 32, 128, 128, 4, 32
+    x = jax.random.normal(keys[0], (b, h, w, c), jnp.float32).astype(jnp.bfloat16)
+    gn_scale = jax.random.normal(keys[1], (c,)) * 0.2 + 1.0
+    gn_bias = jax.random.normal(keys[2], (c,)) * 0.1
+    kernel = jax.random.normal(keys[3], (3, 3, c, f)) * (1.0 / np.sqrt(9 * c))
+    conv_bias = jax.random.normal(keys[4], (f,)) * 0.1
+    tgt = jax.random.normal(keys[0], (b, h, w, f))
+
+    def loss_fused(x, s, bb, k, cb):
+        y = fused_gn_silu_conv(x, s, bb, k, cb, groups, interpret=True)
+        return jnp.mean((y - tgt) ** 2)
+
+    def loss_unfused(x, s, bb, k, cb):
+        y = unfused_gn_silu_conv(x, s, bb, k, cb, groups)
+        return jnp.mean((y - tgt) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(
+        x, gn_scale, gn_bias, kernel, conv_bias
+    )
+    gu = jax.grad(loss_unfused, argnums=(0, 1, 2, 3, 4))(
+        x, gn_scale, gn_bias, kernel, conv_bias
+    )
+    for a, b_ in zip(gf, gu):
+        assert a.dtype == b_.dtype
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b_, np.float32),
+            rtol=1e-4, atol=1e-5,
+        )
