@@ -97,6 +97,11 @@ def main():
     p.add_argument("--yes", action="store_true", help="non-interactive overwrite")
     opt = p.parse_args()
 
+    from ivid_tpu.utils.runtime import enable_compilation_cache, setup_platform
+
+    setup_platform()  # honor IVID_TPU_PLATFORM before any jax backend init
+    enable_compilation_cache()
+
     from ivid_tpu.evals import compute_metrics
 
     # Default cache names carry the image size: a cache written at one

@@ -347,7 +347,13 @@ def resolve_zbuffer(
     if choice == "replay":
         from ivid_tpu.ops.raster_pallas import resolve_zbuffer_pallas
 
-        assert num_buffers == 1, "replay resolve is single-buffer only"
+        if num_buffers > 1:
+            # The replay kernel is single-buffer; batched callers (warp
+            # groups, full-mode aggregation) fall back to the sorted resolve
+            # instead of failing the whole trace on an A/B knob.
+            return resolve_zbuffer_sorted(
+                fragments, payloads, render_size, num_buffers=num_buffers
+            )
         return resolve_zbuffer_pallas(fragments, payloads, render_size)
     if choice == "sorted":
         return resolve_zbuffer_sorted(

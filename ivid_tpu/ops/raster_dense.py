@@ -289,8 +289,29 @@ def rasterize_grid_dense_batched(
     buffer at a time (geom ≈ 6.4 MB per 130² mesh)."""
     from ivid_tpu.ops.geometry import triangulate_face_type
 
+    import os
+
     g = grid_size
     B = win.shape[0]
+
+    impl = os.environ.get("IVID_TPU_SKIRT_IMPL", "auto")
+    use_pallas = impl != "xla" and (
+        interpret or jax.default_backend() == "tpu" or impl == "pallas"
+    )
+    if not use_pallas:
+        # The XLA fallback rebuilds per-sample plane tables inside
+        # rasterize_grid_dense; build nothing batched here.
+        def one(args):
+            return rasterize_grid_dense(*args, g, render_size,
+                                        discard_attr=discard_attr)
+
+        outs = jax.lax.map(one, (win, w, attrs, positions))
+        return DenseRaster(
+            attrs=outs.attrs.reshape(-1, outs.attrs.shape[-1]),
+            depth=outs.depth.reshape(-1),
+            front=outs.front.reshape(-1),
+            covered=outs.covered.reshape(-1),
+        )
 
     def corners_one(win_v, w_v, attrs_v, pos_v):
         ft = triangulate_face_type(pos_v.reshape(g, g, 3))
@@ -315,26 +336,7 @@ def rasterize_grid_dense_batched(
     if pln["dnum"] is not None:
         plnb["dnum"] = tuple(rs(v) for v in pln["dnum"])
 
-    import os
-
-    impl = os.environ.get("IVID_TPU_SKIRT_IMPL", "auto")
-    use_pallas = impl != "xla" and (
-        interpret or jax.default_backend() == "tpu" or impl == "pallas"
-    )
-    if use_pallas:
-        return _pallas_raster_batched(plnb, render_size, interpret=interpret)
-
-    def one(args):
-        return rasterize_grid_dense(*args, g, render_size,
-                                    discard_attr=discard_attr)
-
-    outs = jax.lax.map(one, (win, w, attrs, positions))
-    return DenseRaster(
-        attrs=outs.attrs.reshape(-1, outs.attrs.shape[-1]),
-        depth=outs.depth.reshape(-1),
-        front=outs.front.reshape(-1),
-        covered=outs.covered.reshape(-1),
-    )
+    return _pallas_raster_batched(plnb, render_size, interpret=interpret)
 
 
 def _dispatch(pln, render_size, block_px, interpret):

@@ -306,16 +306,7 @@ def render_simple(
     # Reference fragment shader semantics (simple.fsh:12-18): backfaces write
     # vec4(0,0,0,0) — black color AND zero alpha; edge-flagged FRONT faces
     # write (texture, 0) — textured color, zero alpha. Both still write depth.
-    payloads = []
-    for f in frags:
-        edge = f.attrs[:, 2]
-        frontf = f.front.astype(jnp.float32)
-        alpha = jnp.where(f.front & (edge <= 0.999), 1.0, 0.0)
-        payloads.append(
-            jnp.concatenate(
-                [f.attrs[:, 0:2], alpha[:, None], frontf[:, None]], axis=-1
-            )
-        )
+    payloads = [_simple_payload(f.attrs, f.front) for f in frags]
 
     if frags:
         payload, depth_win, covered = raster.resolve_zbuffer(
@@ -325,13 +316,7 @@ def render_simple(
         payload, depth_win, covered = _empty_framebuffer(render_size, 4)
     if dense is not None:
         sk = _dense_raster(dense, attrs, mesh, render_size)
-        sk_alpha = jnp.where(
-            sk.front & (sk.attrs[:, 2] <= 0.999), 1.0, 0.0
-        )
-        sk_payload = jnp.concatenate(
-            [sk.attrs[:, 0:2], sk_alpha[:, None],
-             sk.front.astype(jnp.float32)[:, None]], axis=-1,
-        )
+        sk_payload = _simple_payload(sk.attrs, sk.front)
         payload, depth_win, covered = raster_dense.merge_dense(
             payload, depth_win, covered, sk_payload, sk, render_size
         )

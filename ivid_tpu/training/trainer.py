@@ -628,21 +628,28 @@ class InpaintTrainer(FinetuneMixin, BasicTrainer):
             cond=cond, guidance=guidance,
             steps=min(250, self.framework.schedule.timesteps),
         )
+        # _host_array may allgather (a collective program): every process must
+        # make these calls, not just the master that writes the files.
         imgs = _host_array(out["samples"])
+        mask = _host_array(cond["mask"])
+        y = _host_array(cond["y"])
+        mask_rgb = (
+            _host_array(cond["mask_rgb"]) if "mask_rgb" in cond else None
+        )
         if jax.process_index() != 0:
             return  # computation above was collective; file IO is master-only
         nrow = int(np.sqrt(num_samples))
         d = os.path.join(self.output_dir, "samples")
         g = partial(save_image_grid, nrow=nrow)
-        g(os.path.join(d, f"mask_{suffix}.png"), _host_array(cond["mask"]), value_range=(0, 1))
+        g(os.path.join(d, f"mask_{suffix}.png"), mask, value_range=(0, 1))
         g(os.path.join(d, f"rgb_gt_{suffix}.png"), np.asarray(batch["x_0"])[..., :3])
-        g(os.path.join(d, f"rgb_cond_{suffix}.png"), _host_array(cond["y"])[..., :3])
+        g(os.path.join(d, f"rgb_cond_{suffix}.png"), y[..., :3])
         g(os.path.join(d, f"rgb_{suffix}.png"), imgs[..., :3])
         g(os.path.join(d, f"depth_gt_{suffix}.png"), np.asarray(batch["x_0"])[..., 3:])
-        g(os.path.join(d, f"depth_cond_{suffix}.png"), _host_array(cond["y"])[..., 3:])
+        g(os.path.join(d, f"depth_cond_{suffix}.png"), y[..., 3:])
         g(os.path.join(d, f"depth_{suffix}.png"), imgs[..., 3:])
-        if "mask_rgb" in cond:
-            g(os.path.join(d, f"mask_rgb_{suffix}.png"), _host_array(cond["mask_rgb"]), value_range=(0, 1))
+        if mask_rgb is not None:
+            g(os.path.join(d, f"mask_rgb_{suffix}.png"), mask_rgb, value_range=(0, 1))
 
 
 class SuperResTrainer(FinetuneMixin, BasicTrainer):
