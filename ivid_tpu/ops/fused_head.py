@@ -66,7 +66,9 @@ def _head_kernel(cur_ref, top_ref, bot_ref, a_ref, t_ref, kern_ref, cbias_ref,
     )  # [rows+2, W, C]
 
     # GroupNorm affine (per-channel a,t precomputed from the group stats) +
-    # SiLU, in fp32 — identical values to the unfused fp32 GN path.
+    # SiLU, in fp32 — identical values to the unfused fp32 GN path. a/t ride
+    # as [B, 1, C] ([1, C] blocks: TPU block shapes need the sublane dim ≥8 or
+    # full) and broadcast over (rows, W).
     z = ext.astype(jnp.float32) * a_ref[0] + t_ref[0]
     z = z * jax.nn.sigmoid(z)
     # SAME-conv zero padding applies to the *normalized* tensor: outside the
@@ -237,8 +239,8 @@ def _fused_forward(
                     bi, jnp.minimum((i + 1) * halo, (hb * halo) - 1), 0, 0,
                 ),
             ),
-            pl.BlockSpec((1, c), lambda bi, i: (bi, 0)),
-            pl.BlockSpec((1, c), lambda bi, i: (bi, 0)),
+            pl.BlockSpec((1, 1, c), lambda bi, i: (bi, 0, 0)),
+            pl.BlockSpec((1, 1, c), lambda bi, i: (bi, 0, 0)),
             pl.BlockSpec((3, 3, c, _F_PAD), lambda bi, i: (0, 0, 0, 0)),
             pl.BlockSpec((1, _F_PAD), lambda bi, i: (0, 0)),
         ],
@@ -250,6 +252,6 @@ def _fused_forward(
             + b * _F_PAD * h * w * 4,
             transcendentals=b * h * w * c,
         ),
-    )(x, x, x, a, t, kern, cbias.reshape(1, _F_PAD))
+    )(x, x, x, a[:, None], t[:, None], kern, cbias.reshape(1, _F_PAD))
 
     return y[:, :f].transpose(0, 2, 3, 1)
