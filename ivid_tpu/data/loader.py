@@ -1,4 +1,4 @@
-"""Prefetching data loader with worker threads and per-process sharding.
+"""Prefetching data loader with worker threads/processes and sharding.
 
 Replaces torch DataLoader + DistributedSampler (reference:
 diffusion/trainers/basic.py:140-154): epoch-shuffled, rank-strided index
@@ -23,11 +23,24 @@ over-fetched ``num_shards×`` by loading full global batches per process.)"""
 
 from __future__ import annotations
 
+import multiprocessing
 from collections import deque
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 from typing import Dict, Iterator, Tuple
 
 import numpy as np
+
+_WORKER_DATASET = None
+
+
+def _process_worker_init(dataset):
+    """Runs once in each spawned worker: pin the (pickled-over) dataset."""
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
+def _process_worker_get(i: int):
+    return _WORKER_DATASET[i]
 
 
 class DataLoader:
@@ -43,10 +56,18 @@ class DataLoader:
         num_shards: int = 1,
         prefetch: int = 4,
         start: Tuple[int, int] = (0, 0),
+        worker_mode: str = "thread",
     ):
+        """``worker_mode="process"`` loads items in ``num_workers`` SPAWNED
+        processes (GIL-free decode/resample — torch DataLoader's model,
+        reference: trainers/basic.py:147-153) instead of threads. The dataset
+        must be picklable; spawn (not fork) keeps the workers clear of the
+        parent's JAX/XLA runtime threads."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
+        assert worker_mode in ("thread", "process"), worker_mode
+        self.worker_mode = worker_mode
         self.num_workers = max(1, num_workers)
         self.seed = seed
         self.shard_index = shard_index
@@ -101,7 +122,17 @@ class DataLoader:
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         """Infinite iterator (the trainer counts steps, not epochs)."""
-        pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        if self.worker_mode == "process":
+            pool = ProcessPoolExecutor(
+                max_workers=self.num_workers,
+                mp_context=multiprocessing.get_context("spawn"),
+                initializer=_process_worker_init,
+                initargs=(self.dataset,),
+            )
+            get_item = _process_worker_get
+        else:
+            pool = ThreadPoolExecutor(max_workers=self.num_workers)
+            get_item = self.dataset.__getitem__
         cursors = self._cursors(self.position)
         # Pipeline: keep `prefetch` batches of per-item futures in flight; the
         # pool's num_workers threads drain them in parallel, order preserved
@@ -110,7 +141,7 @@ class DataLoader:
 
         def submit_next():
             nxt, batch_idx = next(cursors)
-            futs = [pool.submit(self.dataset.__getitem__, int(i)) for i in batch_idx]
+            futs = [pool.submit(get_item, int(i)) for i in batch_idx]
             self.items_loaded += len(batch_idx)
             pending.append((nxt, futs))
 

@@ -168,7 +168,8 @@ class BasicTrainer:
         self._loader_obj = DataLoader(
             self.dataset,
             batch_size=self.batch_size,
-            num_workers=4,
+            num_workers=int(os.environ.get("IVID_TPU_LOADER_WORKERS", "4")),
+            worker_mode=os.environ.get("IVID_TPU_LOADER_MODE", "thread"),
             seed=self.seed,
             shard_index=jax.process_index(),
             num_shards=jax.process_count(),

@@ -144,3 +144,21 @@ def test_loader_workers_parallel_and_ordered():
     np.testing.assert_array_equal(b0, [0, 1, 2, 3])
     np.testing.assert_array_equal(b1, [4, 5, 6, 7])
     assert peak[0] >= 3, f"expected concurrent item loads, peak={peak[0]}"
+
+
+def test_loader_process_workers_match_threads():
+    """worker_mode='process' (spawned, GIL-free) yields byte-identical
+    batches and cursor positions to the thread pool."""
+    ds = SyntheticRGBD(
+        image_size=16, length=24, num_classes=3, normalize=True,
+        normalize_depth=True, prepocess_depth="z_buffer",
+    )
+    lt = DataLoader(ds, batch_size=4, seed=5, num_workers=2, prefetch=2)
+    lp = DataLoader(ds, batch_size=4, seed=5, num_workers=2, prefetch=2,
+                    worker_mode="process")
+    it_t, it_p = iter(lt), iter(lp)
+    for _ in range(8):  # crosses an epoch boundary (6 batches/epoch)
+        bt, bp = next(it_t), next(it_p)
+        assert lt.position == lp.position
+        for k in bt:
+            np.testing.assert_array_equal(bt[k], bp[k])
