@@ -69,22 +69,46 @@ def param_shardings(params: Any, mesh: Mesh) -> Any:
 def check_replication(params: Any) -> None:
     """Assert replicated parameters are bitwise identical across devices — the
     TPU-native analog of the reference's distributed self-check
-    (reference: diffusion/trainers/basic.py:294-336 ``check_ddp``)."""
+    (reference: diffusion/trainers/basic.py:294-336 ``check_ddp``).
+
+    Collective on multi-host meshes: local shards are compared directly, then
+    a crc32 digest per replicated leaf is allgathered and compared across
+    processes (every process must call this — the trainer does, at init/load
+    and every ``i_ddpcheck`` steps)."""
+    import zlib
+
+    digests = []
 
     def check(path, leaf):
         if not hasattr(leaf, "addressable_shards"):
             return
         shards = leaf.addressable_shards
-        if len(shards) <= 1:
-            return
         if not leaf.sharding.is_fully_replicated:
             return
-        base = np.asarray(shards[0].data)
-        for s in shards[1:]:
-            if not np.array_equal(base, np.asarray(s.data), equal_nan=True):
-                name = "/".join(str(p) for p in path)
-                raise AssertionError(
-                    f"replicated param {name} differs across devices"
-                )
+        if len(shards) > 1:
+            base = np.asarray(shards[0].data)
+            for s in shards[1:]:
+                if not np.array_equal(base, np.asarray(s.data), equal_nan=True):
+                    name = "/".join(str(p) for p in path)
+                    raise AssertionError(
+                        f"replicated param {name} differs across devices"
+                    )
+        if shards:
+            digests.append(
+                zlib.crc32(np.ascontiguousarray(
+                    np.asarray(shards[0].data)
+                ).tobytes())
+            )
 
     jax.tree_util.tree_map_with_path(check, params)
+
+    if jax.process_count() > 1 and digests:
+        from jax.experimental import multihost_utils
+
+        local = np.asarray(digests, np.uint32)
+        all_digests = multihost_utils.process_allgather(local)
+        if not (all_digests == local[None]).all():
+            bad = int(np.argwhere((all_digests != local[None]).any(0))[0, 0])
+            raise AssertionError(
+                f"replicated param digest #{bad} differs across processes"
+            )
