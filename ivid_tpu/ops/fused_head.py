@@ -246,8 +246,10 @@ def _fused_forward(
         ],
         out_specs=pl.BlockSpec((1, _F_PAD, rb, w), lambda bi, i: (bi, 0, i, 0)),
         interpret=interpret,
+        # Logical (model) flops — count F, not the padded _F_PAD lanes, so
+        # bench MFU stays comparable with the unfused conv's cost analysis.
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * h * w * 9 * c * _F_PAD,
+            flops=2 * b * h * w * 9 * c * f,
             bytes_accessed=b * h * w * c * itemsize * 3 // 2
             + b * _F_PAD * h * w * 4,
             transcendentals=b * h * w * c,
