@@ -158,4 +158,4 @@ class DataLoader:
             for _, futs in pending:
                 for f in futs:
                     f.cancel()
-            pool.shutdown(wait=False)
+            pool.shutdown(wait=False, cancel_futures=True)
