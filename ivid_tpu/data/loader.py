@@ -83,6 +83,10 @@ class DataLoader:
         self.position = tuple(start)
         #: total items fetched from the dataset (observability/tests).
         self.items_loaded = 0
+        #: generation token: only the NEWEST iterator may advance the cursor
+        #: (two live iterators would interleave self.position updates and
+        #: corrupt the exact-resume contract).
+        self._iter_gen = 0
 
     def _epoch_indices(self, epoch: int) -> np.ndarray:
         """This process's item indices per global batch: [n_batches, local_bs].
@@ -121,7 +125,12 @@ class DataLoader:
             epoch, batch0 = epoch + 1, 0
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        """Infinite iterator (the trainer counts steps, not epochs)."""
+        """Infinite iterator from the current ``position`` (the trainer counts
+        steps, not epochs). Creating a new iterator supersedes any previous
+        one: the old iterator raises rather than silently interleaving cursor
+        updates with the new one."""
+        self._iter_gen += 1
+        gen = self._iter_gen
         if self.worker_mode == "process":
             pool = ProcessPoolExecutor(
                 max_workers=self.num_workers,
@@ -149,6 +158,11 @@ class DataLoader:
             for _ in range(self.prefetch):
                 submit_next()
             while True:
+                if self._iter_gen != gen:
+                    raise RuntimeError(
+                        "this DataLoader iterator was superseded by a newer "
+                        "iter() call; use one live iterator per loader"
+                    )
                 nxt, futs = pending.popleft()
                 batch = self._collate([f.result() for f in futs])
                 submit_next()

@@ -329,9 +329,10 @@ class ScenePipeline:
         Returns (state, samples [B, V, s, s, 4] in [-1,1], conds dict or None).
         """
         s = self.image_size
-        mvs = jnp.asarray(np.asarray(modelviews), jnp.float32)
-        if mvs.ndim == 3:
-            mvs = jnp.broadcast_to(mvs[None], (batch,) + mvs.shape)
+        mvs_host = np.asarray(modelviews, np.float32)
+        if mvs_host.ndim == 3:
+            mvs_host = np.broadcast_to(mvs_host[None], (batch,) + mvs_host.shape)
+        mvs = jnp.asarray(mvs_host)
         n_views = mvs.shape[1]
 
         rng, r0 = jax.random.split(rng)
@@ -355,7 +356,8 @@ class ScenePipeline:
         state = self.init_state(batch)
         state = self.add_view(state, 0, x0 * 0.5 + 0.5, mvs[:, 0])
 
-        mvs_host = np.asarray(jax.device_get(mvs))
+        # mvs_host was captured before sharding: device_get on a data-sharded
+        # mvs is not fully addressable on multi-host meshes.
         cap = self.max_agg_views
         for j in range(1, n_views):
             rng, rj = jax.random.split(rng)

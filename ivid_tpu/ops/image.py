@@ -63,7 +63,10 @@ def gaussian_blur_random_sigma(rng, x: jnp.ndarray, kernel_size: int = 3) -> jnp
     k = jnp.exp(-(offs**2) / (2 * sigma**2))
     k = k / k.sum()
     pad = [(half, half), (half, half), (0, 0)]
-    xp = jnp.pad(x, pad, mode="edge")
+    # cv2.GaussianBlur's default border is BORDER_REFLECT_101 — mirror
+    # WITHOUT repeating the edge pixel (jnp.pad "reflect"), unlike the
+    # sampler blur above which replicates (torch F.pad mode='replicate').
+    xp = jnp.pad(x, pad, mode="reflect")
     # Depthwise separable conv via broadcasting.
     xp = sum(k[i] * xp[i : i + x.shape[0], :, :] for i in range(kernel_size))
     xp = sum(k[i] * xp[:, i : i + x.shape[1], :] for i in range(kernel_size))

@@ -39,6 +39,18 @@ _PWP = 24  # payload plane rows per chunk, 8-sublane aligned (pw = 3A+5 ≤ 23)
 _BIG_SPAN = 32.0  # window-y span above which a triangle skips y-binning
 
 
+def _use_pallas(interpret: bool) -> bool:
+    """Dense-raster impl gate, shared by every entry point:
+    ``IVID_TPU_SKIRT_IMPL`` ∈ {auto (Pallas on TPU, XLA elsewhere), pallas,
+    xla}; ``interpret=True`` always takes the Pallas path (interpreted)."""
+    import os
+
+    impl = os.environ.get("IVID_TPU_SKIRT_IMPL", "auto")
+    return impl != "xla" and (
+        interpret or jax.default_backend() == "tpu" or impl == "pallas"
+    )
+
+
 class DenseRaster(NamedTuple):
     """Per-pixel raster output in FLAT pixel order (row 0 = window bottom,
     matching fragment ``pixel = y * R + x`` ids before the final flip)."""
@@ -211,12 +223,7 @@ def rasterize_tris_dense_batched(
     if pln["dnum"] is not None:
         plnb["dnum"] = tuple(rs(v) for v in pln["dnum"])
 
-    import os
-
-    impl = os.environ.get("IVID_TPU_SKIRT_IMPL", "auto")
-    use_pallas = impl != "xla" and (
-        interpret or jax.default_backend() == "tpu" or impl == "pallas"
-    )
+    use_pallas = _use_pallas(interpret)
     if use_pallas:
         return _pallas_raster_batched(plnb, render_size, interpret=interpret)
 
@@ -289,16 +296,10 @@ def rasterize_grid_dense_batched(
     buffer at a time (geom ≈ 6.4 MB per 130² mesh)."""
     from ivid_tpu.ops.geometry import triangulate_face_type
 
-    import os
-
     g = grid_size
     B = win.shape[0]
 
-    impl = os.environ.get("IVID_TPU_SKIRT_IMPL", "auto")
-    use_pallas = impl != "xla" and (
-        interpret or jax.default_backend() == "tpu" or impl == "pallas"
-    )
-    if not use_pallas:
+    if not _use_pallas(interpret):
         # The XLA fallback rebuilds per-sample plane tables inside
         # rasterize_grid_dense; build nothing batched here.
         def one(args):
@@ -340,12 +341,7 @@ def rasterize_grid_dense_batched(
 
 
 def _dispatch(pln, render_size, block_px, interpret):
-    import os
-
-    impl = os.environ.get("IVID_TPU_SKIRT_IMPL", "auto")
-    use_pallas = impl != "xla" and (
-        interpret or jax.default_backend() == "tpu" or impl == "pallas"
-    )
+    use_pallas = _use_pallas(interpret)
     if use_pallas:
         return _pallas_raster(pln, render_size, interpret=interpret)
     return _xla_raster(pln, render_size, render_size * render_size, block_px)

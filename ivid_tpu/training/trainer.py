@@ -151,8 +151,17 @@ class BasicTrainer:
 
         self.param_sharding = param_shardings(params, self.mesh)
         self.params = jax.device_put(params, self.param_sharding)
-        # Optimizer state follows the param layout leaf-wise where shaped alike.
-        self.opt_state = jax.device_put(opt_state, replicated(self.mesh))
+        # Optimizer state follows the param layout: adam's mu/nu subtrees are
+        # params-shaped, so they take param_sharding wholesale (keeping TP'd
+        # moments TP'd); scalars (count) replicate.
+        pstruct = jax.tree_util.tree_structure(params)
+        is_param_tree = lambda n: jax.tree_util.tree_structure(n) == pstruct
+        self._opt_sharding = jax.tree.map(
+            lambda n: self.param_sharding if is_param_tree(n)
+            else replicated(self.mesh),
+            opt_state, is_leaf=is_param_tree,
+        )
+        self.opt_state = jax.device_put(opt_state, self._opt_sharding)
         # Explicit copies: device_put of an already-placed array with the same
         # sharding aliases the buffer, which would break jit donation.
         self.ema_params = [
@@ -292,7 +301,7 @@ class BasicTrainer:
             misc = serialization.from_bytes(
                 {"opt_state": template["opt_state"], "step": 0}, raw
             )
-        self.opt_state = jax.device_put(misc["opt_state"], replicated(self.mesh))
+        self.opt_state = jax.device_put(misc["opt_state"], self._opt_sharding)
         self.step = int(misc["step"])
         if "rng" in misc:
             self.rng = jnp.asarray(misc["rng"])
@@ -615,6 +624,9 @@ class InpaintTrainer(FinetuneMixin, BasicTrainer):
         if suffix is None:
             suffix = f"step{self.step:07d}"
         batch = self._visualization_batch(num_samples)
+        # _visualization_batch clamps to the dataset size; the sampler's noise
+        # batch must match the conditioning rows or pack_inputs shape-errors.
+        num_samples = len(next(iter(batch.values())))
         device_batch = self._replicated_batch(batch)
         rng = jax.random.fold_in(self.rng, 20_000 + self.step)
         if not hasattr(self, "_prepare_batch_jit"):
@@ -669,6 +681,7 @@ class SuperResTrainer(FinetuneMixin, BasicTrainer):
         if suffix is None:
             suffix = f"step{self.step:07d}"
         batch = self._visualization_batch(num_samples)
+        num_samples = len(next(iter(batch.values())))  # clamped to dataset
         cond = self._replicated_batch(
             {k: v for k, v in batch.items() if k != "x_0"}
         )

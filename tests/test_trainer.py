@@ -308,3 +308,22 @@ def test_kill_and_resume_reproduces_loss_sequence(tmp_path):
     rest = run_steps(tr_b, 3)
 
     np.testing.assert_allclose(first + rest, full, rtol=1e-5)
+
+
+def test_sample_visualization_with_small_dataset(tmp_path):
+    """sample() must clamp the sampler batch to the rows _visualization_batch
+    actually returned, or InpaintCFG.pack_inputs shape-errors whenever the
+    dataset is smaller than num_samples (e.g. smoke configs + sample_at_init)."""
+    ds = SyntheticRGBDWarp(
+        image_size=32, length=4, normalize=True, normalize_depth=True,
+        prepocess_depth="z_buffer", augments=["erode_rgb"],
+    )
+    tr = _make(
+        tmp_path, trainer_cls=InpaintTrainer, framework="InpaintCFG",
+        fw_args={"timesteps": 100, "beta_schedule": "linear", "p_uncond": 0.1,
+                 "p_uncond_img": 0},
+        dataset=ds, backbone={"in_channels": 10},
+    )
+    tr.sample(suffix="smoke", num_samples=9)  # > len(dataset)
+    out = os.path.join(str(tmp_path), "samples", "rgb_smoke.png")
+    assert os.path.exists(out)

@@ -116,3 +116,21 @@ def test_scene_modelview_layout_normalization():
     mv = _orbit(0.3, 0.1)
     np.testing.assert_array_equal(_normalize_modelview(mv), mv)
     np.testing.assert_allclose(_normalize_modelview(mv.T), mv, atol=1e-6)
+
+
+def test_augment_blur_matches_cv2():
+    """gaussian_blur_random_sigma mirrors cv2.GaussianBlur's default
+    BORDER_REFLECT_101 border (reference: datasets/base.py:247)."""
+    cv2 = pytest.importorskip("cv2")
+    import jax
+    import jax.numpy as jnp
+
+    from ivid_tpu.ops import image as im_ops
+
+    rng = jax.random.PRNGKey(42)
+    sigma = float(jax.random.uniform(rng, ()) + 1e-3)
+    img = np.random.default_rng(0).uniform(size=(17, 13, 3)).astype(np.float32)
+
+    got = np.asarray(im_ops.gaussian_blur_random_sigma(rng, jnp.asarray(img)))
+    want = cv2.GaussianBlur(img, (3, 3), sigma)
+    np.testing.assert_allclose(got, want, atol=2e-6)
