@@ -662,8 +662,16 @@ class AdmUnet2d(nn.Module):
             kern, cbias = _HeadConvParams(
                 self.out_channels, h.shape[-1], name="out_conv"
             )()
+            # Head-conv matmul dtype: f32 matches the reference's fp32 head
+            # exactly; IVID_TPU_FUSED_HEAD_MM=bf16 is the measured A/B knob
+            # (the normalized+silu values carry fp32 information the bf16
+            # MXU path would round).
+            import os
+
+            mm = os.environ.get("IVID_TPU_FUSED_HEAD_MM", "f32")
             return _fh.fused_gn_silu_conv(
                 h, scale, gbias, kern, cbias, self.num_groups,
+                mm_dtype=jnp.bfloat16 if mm == "bf16" else jnp.float32,
                 interpret=jax.default_backend() != "tpu",
             )
         h = h.astype(jnp.float32)
