@@ -146,3 +146,64 @@ def test_render_cli(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     vids = list((tmp_path / "videos").iterdir())
     assert any(v.suffix in (".gif", ".mp4") for v in vids), vids
+
+
+def test_sr_cli(tmp_path):
+    """sr.py end-to-end: tiny SR config + random params over a saved scene."""
+    import jax.numpy as jnp
+
+    from ivid_tpu.inference.scene_io import save_scene
+    from ivid_tpu.ops import camera as cam
+    from ivid_tpu.ops import geometry as geom
+
+    cfg = {
+        "backbone": {"name": "AdmUnet2d", "args": {
+            "image_size": 32, "in_channels": 8, "out_channels": 4,
+            "model_channels": 32, "num_res_blocks": 1,
+            "num_classes": None, "has_null_class": False,
+            "channel_mult": [1, 2], "attention_resolutions": [16],
+            "num_groups": 8, "num_heads": None, "num_head_channels": 16,
+            "dropout": 0.0, "use_fp16": False}},
+        "framework": {"name": "SuperResCFG",
+                      "args": {"timesteps": 100, "beta_schedule": "linear",
+                               "p_uncond": 0.1}},
+        "dataset": {"name": "SyntheticRGBDSR",
+                    "args": {"image_size": 32, "image_size_lr": 16,
+                             "length": 8, "normalize": True,
+                             "normalize_depth": True,
+                             "prepocess_depth": "z_buffer"}},
+        "trainer": {"name": "SuperResTrainer",
+                    "args": {"max_steps": 1, "batch_size_per_gpu": 1}},
+    }
+    cfg_path = tmp_path / "sr.json"
+    cfg_path.write_text(json.dumps(cfg))
+
+    s_lr = 16
+    rng = np.random.default_rng(0)
+    mv = cam.look_at(
+        jnp.array([0.0, 0.0, 1.0]), jnp.zeros(3), jnp.array([0.0, 1.0, 0.0])
+    )
+    meshes, colors = [], []
+    for _ in range(2):
+        rgbd = np.clip(
+            rng.uniform(0.2, 0.8, size=(s_lr, s_lr, 4)), 0, 1
+        ).astype(np.float32)
+        meshes.append(geom.depth_to_mesh(
+            geom.linearize_depth(jnp.asarray(rgbd[..., 3:]), 0.6, 5.0),
+            padding="frustum", fov=45.0, modelview=mv,
+            atol=0.03, rtol=0.03, erode_rgb=3, cal_normal=True,
+        ))
+        colors.append(rgbd[..., :3])
+    (tmp_path / "scenes").mkdir()
+    save_scene(
+        str(tmp_path / "scenes" / "scene_seed00003.npz"), meshes, colors
+    )
+
+    r = _run([
+        "sr.py", "--config_sr", str(cfg_path), "--ckpt_sr", "random",
+        "--scene_dir", str(tmp_path), "--steps", "2", "--batchsize", "2",
+        "--save_scenes",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (tmp_path / "results_sr" / "scene_seed00003.png").exists()
+    assert (tmp_path / "scenes_sr" / "scene_seed00003.npz").exists()
