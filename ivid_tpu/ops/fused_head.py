@@ -36,7 +36,13 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-_ROW_BLOCK = 32  # H rows per grid step (divides every supported image size)
+import os
+
+# H rows per grid step. 16 keeps the kernel's fp32 working set (ext + z +
+# shifted tap copies ≈ 5 tensors of rows·W·C) well under the ~16 MB VMEM
+# budget at both head shapes; IVID_TPU_FUSED_HEAD_ROWS sweeps it (32 halves
+# the 8-row halo re-read but roughly doubles live VMEM).
+_ROW_BLOCK = int(os.environ.get("IVID_TPU_FUSED_HEAD_ROWS", "16"))
 _F_PAD = 8  # fp32 sublane width; the RGBD head has 4 output channels
 
 
