@@ -254,20 +254,39 @@ class ResBlock(nn.Module):
             # concat path, so checkpoints are interchangeable.
             return self._split_forward(x, skip, emb, deterministic=deterministic)
 
-        in_norm = GroupNorm32(self.num_groups, name="in_norm")
-        in_conv = _conv(self.out_channels, 3, self.dtype, name="in_conv")
+        from ivid_tpu.ops import fused_gn_conv as _fgc
 
-        h = nn.silu(in_norm(x))
-        if self.up:
-            h = upsample_nearest_2x(h)
-            # x stays at the small resolution: the residual upsample is fused
-            # into the final add (see below), and a channel-matching 1x1 conv
-            # commutes exactly with nearest upsampling — running it before
-            # costs 4x less.
-        elif self.down:
-            h = downsample_avg_2x(h)
-            x = downsample_avg_2x(x)
-        h = in_conv(h)
+        fuse_kw = dict(interpret=jax.default_backend() != "tpu")
+        fuse_in = (
+            _use_fused_gnconv()
+            and not (self.up or self.down)
+            and _fgc.supports_fused_gn_conv(
+                x.shape, self.out_channels, self.num_groups
+            )
+        )
+        if fuse_in:
+            # Fused GN+SiLU+conv (param tree identical to the unfused path).
+            gsc, gbi = _GN32Params(x.shape[-1], name="in_norm")()
+            kern, cbias = _Conv3Params(
+                self.out_channels, x.shape[-1], name="in_conv"
+            )()
+            af, tf = _fgc.gn_affine(x, gsc, gbi, self.num_groups)
+            h = _fgc.fused_affine_silu_conv(x, af, tf, kern, cbias, **fuse_kw)
+        else:
+            in_norm = GroupNorm32(self.num_groups, name="in_norm")
+            in_conv = _conv(self.out_channels, 3, self.dtype, name="in_conv")
+
+            h = nn.silu(in_norm(x))
+            if self.up:
+                h = upsample_nearest_2x(h)
+                # x stays at the small resolution: the residual upsample is
+                # fused into the final add (see below), and a channel-matching
+                # 1x1 conv commutes exactly with nearest upsampling — running
+                # it before costs 4x less.
+            elif self.down:
+                h = downsample_avg_2x(h)
+                x = downsample_avg_2x(x)
+            h = in_conv(h)
 
         # Timestep/class modulation. The Linear runs in fp32 (the reference leaves
         # Linear modules out of fp16 conversion, diffusion/backbones/utils.py:7-24)
@@ -278,17 +297,38 @@ class ResBlock(nn.Module):
         )(nn.silu(emb)).astype(h.dtype)
         emb_out = emb_out[:, None, None, :]
 
-        out_norm = GroupNorm32(self.num_groups, name="out_norm")
-        out_conv = _conv(self.out_channels, 3, self.dtype, zero_init=True, name="out_conv")
-        if self.use_scale_shift_norm:
-            scale, shift = jnp.split(emb_out, 2, axis=-1)
-            h = out_norm(h) * (1 + scale) + shift
+        fuse_out = (
+            _use_fused_gnconv()
+            and self.use_scale_shift_norm
+            and (self.dropout == 0 or deterministic)
+            and _fgc.supports_fused_gn_conv(
+                h.shape, self.out_channels, self.num_groups
+            )
+        )
+        if fuse_out:
+            gsc2, gbi2 = _GN32Params(self.out_channels, name="out_norm")()
+            kern2, cbias2 = _Conv3Params(
+                self.out_channels, self.out_channels, zero_init=True,
+                name="out_conv",
+            )()
+            scale, shift = jnp.split(emb_out[:, 0, 0, :], 2, axis=-1)
+            af, tf = _fgc.gn_affine(
+                h, gsc2, gbi2, self.num_groups,
+                film_scale=scale, film_shift=shift,
+            )
+            h = _fgc.fused_affine_silu_conv(h, af, tf, kern2, cbias2, **fuse_kw)
         else:
-            h = out_norm(h + emb_out)
-        h = nn.silu(h)
-        if self.dropout > 0:
-            h = nn.Dropout(rate=self.dropout, deterministic=deterministic)(h)
-        h = out_conv(h)
+            out_norm = GroupNorm32(self.num_groups, name="out_norm")
+            out_conv = _conv(self.out_channels, 3, self.dtype, zero_init=True, name="out_conv")
+            if self.use_scale_shift_norm:
+                scale, shift = jnp.split(emb_out, 2, axis=-1)
+                h = out_norm(h) * (1 + scale) + shift
+            else:
+                h = out_norm(h + emb_out)
+            h = nn.silu(h)
+            if self.dropout > 0:
+                h = nn.Dropout(rate=self.dropout, deterministic=deterministic)(h)
+            h = out_conv(h)
 
         if x.shape[-1] != self.out_channels:
             x = _conv(self.out_channels, 1, self.dtype, name="skip_conv")(x)
@@ -364,6 +404,16 @@ def _use_fused_head() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _use_fused_gnconv() -> bool:
+    """ResBlock GN(+FiLM)+SiLU+conv3x3 fusion (ops/fused_gn_conv.py).
+    DEFAULT OFF until the on-chip A/B (bench_gnconv.py) proves it: kernels
+    that fight XLA's layout choices have lost before (dual-pointwise note in
+    CLAUDE.md). ``IVID_TPU_FUSED_GNCONV=1`` enables (interpret mode off-TPU)."""
+    import os
+
+    return os.environ.get("IVID_TPU_FUSED_GNCONV", "0") == "1"
+
+
 class _ChannelAffine(nn.Module):
     """Declares ``scale``/``bias`` matching ``nn.GroupNorm``'s param tree."""
 
@@ -401,6 +451,29 @@ class _HeadConvParams(nn.Module):
     def __call__(self):
         kern = self.param(
             "kernel", nn.initializers.zeros,
+            (3, 3, self.in_channels, self.features), jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        return kern, bias
+
+
+class _Conv3Params(nn.Module):
+    """Parameter-tree mirror of a ``_conv(features, 3, ...)`` nn.Conv
+    ({kernel, bias}, identical names/shapes/initializers) for fused paths
+    that consume the raw tables."""
+
+    features: int
+    in_channels: int
+    zero_init: bool = False
+
+    @nn.compact
+    def __call__(self):
+        kern = self.param(
+            "kernel",
+            nn.initializers.zeros if self.zero_init
+            else nn.initializers.lecun_normal(),
             (3, 3, self.in_channels, self.features), jnp.float32,
         )
         bias = self.param(

@@ -116,3 +116,28 @@ def test_graft_entry_lowers_for_tpu(monkeypatch):
 
     fn, args = ge.entry()
     _lower_tpu(fn, *args)
+
+
+def test_fused_gn_conv_lowers_for_tpu():
+    from ivid_tpu.ops.fused_gn_conv import fused_affine_silu_conv, gn_affine
+
+    # Production torso shapes: SR 256^2 level (C=F=128, batch 54 fused-CFG)
+    # and flagship 128^2 level (C=F=256, batch 32).
+    for (b, h, w, c, f) in [(54, 256, 256, 128, 128), (32, 128, 128, 256, 256)]:
+        x = jnp.zeros((b, h, w, c), jnp.bfloat16)
+        gs, gb = jnp.ones((c,)), jnp.zeros((c,))
+        kern = jnp.zeros((3, 3, c, f))
+        bias = jnp.zeros((f,))
+
+        def fwd(x, gs, gb, kern, bias):
+            a, t = gn_affine(x, gs, gb, 32)
+            return fused_affine_silu_conv(x, a, t, kern, bias)
+
+        _lower_tpu(fwd, x, gs, gb, kern, bias)
+        _lower_tpu(
+            jax.grad(
+                lambda *a: jnp.sum(fwd(*a).astype(jnp.float32)),
+                argnums=(0, 1, 2, 3, 4),
+            ),
+            x, gs, gb, kern, bias,
+        )
