@@ -344,16 +344,36 @@ class ResBlock(nn.Module):
         return x + h
 
     def _split_forward(self, x, skip, emb, *, deterministic):
+        from ivid_tpu.ops import fused_gn_conv as _fgc
+
         parts = (x, skip)
         c_in = x.shape[-1] + skip.shape[-1]
         assert c_in != self.out_channels, "split path expects a skip projection"
         assert not (self.up or self.down), "decoder skip blocks never resample"
 
-        hp = SplitGroupNorm32(self.num_groups, c_in, name="in_norm")(parts)
-        hp = tuple(nn.silu(p) for p in hp)
-        h = SplitConv(
-            self.out_channels, c_in, kernel=3, dtype=self.dtype, name="in_conv"
-        )(hp)
+        fuse_kw = dict(interpret=jax.default_backend() != "tpu")
+        fuse_in = (
+            _use_fused_gnconv()
+            and _fgc.supports_fused_gn_conv_parts(
+                tuple(p.shape for p in parts), self.out_channels,
+                self.num_groups,
+            )
+        )
+        if fuse_in:
+            gsc, gbi = _GN32Params(c_in, name="in_norm")()
+            kern, cbias = _Conv3Params(
+                self.out_channels, c_in, name="in_conv"
+            )()
+            ats = _fgc.gn_affine_parts(parts, gsc, gbi, self.num_groups)
+            h = _fgc.fused_affine_silu_conv_parts(
+                parts, ats, kern, cbias, **fuse_kw
+            )
+        else:
+            hp = SplitGroupNorm32(self.num_groups, c_in, name="in_norm")(parts)
+            hp = tuple(nn.silu(p) for p in hp)
+            h = SplitConv(
+                self.out_channels, c_in, kernel=3, dtype=self.dtype, name="in_conv"
+            )(hp)
 
         emb_features = (
             2 * self.out_channels if self.use_scale_shift_norm else self.out_channels
@@ -363,17 +383,38 @@ class ResBlock(nn.Module):
         )(nn.silu(emb)).astype(h.dtype)
         emb_out = emb_out[:, None, None, :]
 
-        out_norm = GroupNorm32(self.num_groups, name="out_norm")
-        out_conv = _conv(self.out_channels, 3, self.dtype, zero_init=True, name="out_conv")
-        if self.use_scale_shift_norm:
-            scale, shift = jnp.split(emb_out, 2, axis=-1)
-            h = out_norm(h) * (1 + scale) + shift
+        fuse_out = (
+            _use_fused_gnconv()
+            and self.use_scale_shift_norm
+            and (self.dropout == 0 or deterministic)
+            and _fgc.supports_fused_gn_conv(
+                h.shape, self.out_channels, self.num_groups
+            )
+        )
+        if fuse_out:
+            gsc2, gbi2 = _GN32Params(self.out_channels, name="out_norm")()
+            kern2, cbias2 = _Conv3Params(
+                self.out_channels, self.out_channels, zero_init=True,
+                name="out_conv",
+            )()
+            scale, shift = jnp.split(emb_out[:, 0, 0, :], 2, axis=-1)
+            af, tf = _fgc.gn_affine(
+                h, gsc2, gbi2, self.num_groups,
+                film_scale=scale, film_shift=shift,
+            )
+            h = _fgc.fused_affine_silu_conv(h, af, tf, kern2, cbias2, **fuse_kw)
         else:
-            h = out_norm(h + emb_out)
-        h = nn.silu(h)
-        if self.dropout > 0:
-            h = nn.Dropout(rate=self.dropout, deterministic=deterministic)(h)
-        h = out_conv(h)
+            out_norm = GroupNorm32(self.num_groups, name="out_norm")
+            out_conv = _conv(self.out_channels, 3, self.dtype, zero_init=True, name="out_conv")
+            if self.use_scale_shift_norm:
+                scale, shift = jnp.split(emb_out, 2, axis=-1)
+                h = out_norm(h) * (1 + scale) + shift
+            else:
+                h = out_norm(h + emb_out)
+            h = nn.silu(h)
+            if self.dropout > 0:
+                h = nn.Dropout(rate=self.dropout, deterministic=deterministic)(h)
+            h = out_conv(h)
 
         res = SplitConv(
             self.out_channels, c_in, kernel=1, dtype=self.dtype, name="skip_conv"

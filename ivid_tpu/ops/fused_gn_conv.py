@@ -222,5 +222,220 @@ def _fused_forward(x, a, t, kernel, bias, *, interpret=False):
         ),
     )(
         x, x, x, a[:, None].astype(jnp.float32), t[:, None].astype(jnp.float32),
-        kernel.astype(jnp.float32), bias.reshape(1, f).astype(jnp.float32),
+        # Kernel rides in the torso dtype — the unfused nn.Conv casts it the
+        # same way, and at C=F=512 an f32 table alone would be 9.4 MB of VMEM.
+        kernel.astype(mm_dtype), bias.reshape(1, f).astype(jnp.float32),
+    )
+
+
+# ---- two-part (split skip-concat) variant -------------------------------
+
+def gn_affine_parts(parts, gn_scale, gn_bias, num_groups,
+                    film_scale=None, film_shift=None):
+    """Per-part (a, t) for GroupNorm over the LOGICALLY-concatenated channel
+    axis of ``parts`` (the split skip-concat decoder path): statistics
+    combine across parts, groups may straddle the part boundary."""
+    b = parts[0].shape[0]
+    s_parts, q_parts, hw = [], [], None
+    for p in parts:
+        pf = p.astype(jnp.float32)
+        hw = p.shape[1] * p.shape[2]
+        s_parts.append(jnp.sum(pf, axis=(1, 2)))
+        q_parts.append(jnp.sum(pf * pf, axis=(1, 2)))
+    s = jnp.concatenate(s_parts, axis=-1)  # [B, C_in]
+    q = jnp.concatenate(q_parts, axis=-1)
+    c = s.shape[-1]
+    cpg = c // num_groups
+    n = hw * cpg
+    sg = s.reshape(b, num_groups, cpg).sum(-1)
+    qg = q.reshape(b, num_groups, cpg).sum(-1)
+    mu = sg / n
+    var = jnp.maximum(qg / n - mu * mu, 0.0)
+    inv = jax.lax.rsqrt(var + 1e-5)
+    a = gn_scale[None, :] * jnp.repeat(inv, cpg, axis=1)
+    t = gn_bias[None, :] - jnp.repeat(mu, cpg, axis=1) * a
+    if film_scale is not None:
+        fs = 1.0 + film_scale.astype(jnp.float32)
+        a = a * fs
+        t = t * fs + film_shift.astype(jnp.float32)
+    outs, lo = [], 0
+    for p in parts:
+        ci = p.shape[-1]
+        outs.append((a[:, lo : lo + ci], t[:, lo : lo + ci]))
+        lo += ci
+    return outs
+
+
+def unfused_affine_silu_conv_parts(parts, ats, kernel, bias):
+    """Split-path reference composition: per-part affine+SiLU, summed
+    sliced-kernel convs (mirrors adm.SplitConv + SplitGroupNorm32)."""
+    y, lo = None, 0
+    for p, (a, t) in zip(parts, ats):
+        z = p.astype(jnp.float32) * a[:, None, None, :] + t[:, None, None, :]
+        z = z * jax.nn.sigmoid(z)
+        z = z.astype(p.dtype)
+        ci = p.shape[-1]
+        yi = jax.lax.conv_general_dilated(
+            z, kernel[:, :, lo : lo + ci].astype(p.dtype), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        y = yi if y is None else y + yi
+        lo += ci
+    return y + bias.astype(parts[0].dtype)
+
+
+def _gnconv2_kernel(cur0, top0, bot0, cur1, top1, bot1, a0, t0, a1, t1,
+                    kern_ref, bias_ref, out_ref, *, rows: int, c0: int,
+                    mm_dtype):
+    i = pl.program_id(1)
+    nb = pl.num_programs(1)
+    w = cur0.shape[2]
+    f = kern_ref.shape[3]
+
+    ridx = jax.lax.broadcasted_iota(jnp.int32, (rows + 2, 1, 1), 0)
+    keep = ((ridx > 0) | (i > 0)) & ((ridx < rows + 1) | (i < nb - 1))
+
+    acc = jnp.zeros((rows * w, f), jnp.float32)
+    for part, (cur, top, bot, a, t, lo) in enumerate(
+        [(cur0, top0, bot0, a0, t0, 0), (cur1, top1, bot1, a1, t1, c0)]
+    ):
+        c = cur.shape[3]
+        ext = jnp.concatenate([top[0, 7:8], cur[0], bot[0, 0:1]], axis=0)
+        z = ext.astype(jnp.float32) * a[0] + t[0]
+        z = z * jax.nn.sigmoid(z)
+        z = jnp.where(keep, z, 0.0)
+        z = z.astype(mm_dtype)
+        zcol = jnp.zeros((rows, 1, c), z.dtype)
+        for dy in range(3):
+            band = z[dy : dy + rows]
+            for kx in range(3):
+                if kx == 0:
+                    sh = jnp.concatenate([zcol, band[:, :-1]], axis=1)
+                elif kx == 2:
+                    sh = jnp.concatenate([band[:, 1:], zcol], axis=1)
+                else:
+                    sh = band
+                acc = acc + jax.lax.dot_general(
+                    sh.reshape(rows * w, c),
+                    kern_ref[dy, kx, lo : lo + c],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+    out = acc.reshape(rows, w, f) + bias_ref[0].astype(jnp.float32)
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+def supports_fused_gn_conv_parts(shapes, f: int, num_groups: int) -> bool:
+    """Gate for the two-part (split skip-concat) form."""
+    if len(shapes) != 2 or any(len(s) != 4 for s in shapes):
+        return False
+    if tuple(shapes[1][:3]) != tuple(shapes[0][:3]):
+        return False
+    _, h, w, _ = shapes[0]
+    c_in = sum(s[-1] for s in shapes)
+    return (
+        all(s[-1] % 128 == 0 and s[-1] <= 512 for s in shapes)
+        and c_in % num_groups == 0
+        and f % 128 == 0
+        and f <= 512
+        and h % _ROWS == 0
+        and w % 8 == 0
+        and h * w >= 1024
+    )
+
+
+def fused_affine_silu_conv_parts(parts, ats, kernel, bias, *,
+                                 interpret: bool = False):
+    """Two-part form of :func:`fused_affine_silu_conv` for the split
+    skip-concat decoder blocks: ``Σ_i conv3x3(silu(a_i·x_i + t_i), K_i)``
+    in ONE Pallas pass — neither the concat nor either z ever hits HBM.
+    ``ats`` from :func:`gn_affine_parts`; ``kernel`` is the FULL
+    [3, 3, ΣC_i, F] table (sliced in-kernel)."""
+    (a0, t0), (a1, t1) = ats
+    return _fused2_vjp(bool(interpret), parts[0], parts[1], a0, t0, a1, t1,
+                       kernel, bias)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fused2_vjp(interpret, x0, x1, a0, t0, a1, t1, kernel, bias):
+    return _fused2_forward(x0, x1, a0, t0, a1, t1, kernel, bias,
+                           interpret=interpret)
+
+
+def _fused2_fwd(interpret, x0, x1, a0, t0, a1, t1, kernel, bias):
+    y = _fused2_vjp(interpret, x0, x1, a0, t0, a1, t1, kernel, bias)
+    return y, (x0, x1, a0, t0, a1, t1, kernel, bias)
+
+
+def _fused2_bwd(interpret, res, g):
+    x0, x1, a0, t0, a1, t1, kernel, bias = res
+    fn = lambda x0, x1, a0, t0, a1, t1, kernel, bias: (
+        unfused_affine_silu_conv_parts(
+            (x0, x1), [(a0, t0), (a1, t1)], kernel, bias
+        )
+    )
+    _, pull = jax.vjp(fn, x0, x1, a0, t0, a1, t1, kernel, bias)
+    return pull(g.astype(x0.dtype))
+
+
+_fused2_vjp.defvjp(_fused2_fwd, _fused2_bwd)
+
+
+def _fused2_forward(x0, x1, a0, t0, a1, t1, kernel, bias, *, interpret=False):
+    b, h, w, c0 = x0.shape
+    c1 = x1.shape[-1]
+    f = kernel.shape[-1]
+    assert x1.shape[:3] == (b, h, w), (x0.shape, x1.shape)
+    assert kernel.shape[2] == c0 + c1
+
+    rb = _ROWS
+    hb = h // rb
+    halo = rb // 8
+    mm_dtype = x0.dtype
+    kernel_fn = functools.partial(
+        _gnconv2_kernel, rows=rb, c0=c0, mm_dtype=mm_dtype
+    )
+
+    def xspecs(c):
+        return [
+            pl.BlockSpec((1, rb, w, c), lambda bi, i: (bi, i, 0, 0)),
+            pl.BlockSpec(
+                (1, 8, w, c),
+                lambda bi, i: (bi, jnp.maximum(i * halo - 1, 0), 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, 8, w, c),
+                lambda bi, i: (
+                    bi, jnp.minimum((i + 1) * halo, (hb * halo) - 1), 0, 0,
+                ),
+            ),
+        ]
+
+    at_spec = lambda c: pl.BlockSpec((1, 1, c), lambda bi, i: (bi, 0, 0))
+    itemsize = jnp.dtype(x0.dtype).itemsize
+    return pl.pallas_call(
+        kernel_fn,
+        out_shape=jax.ShapeDtypeStruct((b, h, w, f), x0.dtype),
+        grid=(b, hb),
+        in_specs=(
+            xspecs(c0) + xspecs(c1)
+            + [at_spec(c0), at_spec(c0), at_spec(c1), at_spec(c1)]
+            + [
+                pl.BlockSpec((3, 3, c0 + c1, f), lambda bi, i: (0, 0, 0, 0)),
+                pl.BlockSpec((1, f), lambda bi, i: (0, 0)),
+            ]
+        ),
+        out_specs=pl.BlockSpec((1, rb, w, f), lambda bi, i: (bi, i, 0, 0)),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h * w * 9 * (c0 + c1) * f,
+            bytes_accessed=b * h * w * (c0 + c1) * itemsize * (rb + 16) // rb
+            + b * h * w * f * itemsize,
+            transcendentals=b * h * w * (c0 + c1),
+        ),
+    )(
+        x0, x0, x0, x1, x1, x1,
+        a0[:, None].astype(jnp.float32), t0[:, None].astype(jnp.float32),
+        a1[:, None].astype(jnp.float32), t1[:, None].astype(jnp.float32),
+        kernel.astype(mm_dtype), bias.reshape(1, f).astype(jnp.float32),
     )

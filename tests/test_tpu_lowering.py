@@ -141,3 +141,30 @@ def test_fused_gn_conv_lowers_for_tpu():
             ),
             x, gs, gb, kern, bias,
         )
+
+
+def test_fused_gn_conv_parts_lowers_for_tpu():
+    from ivid_tpu.ops.fused_gn_conv import (
+        fused_affine_silu_conv_parts, gn_affine_parts,
+    )
+
+    # Flagship decoder split block: x C=256 + skip C=256 -> F=256, batch 32.
+    b, h, w, c0, c1, f = 32, 128, 128, 256, 256, 256
+    x0 = jnp.zeros((b, h, w, c0), jnp.bfloat16)
+    x1 = jnp.zeros((b, h, w, c1), jnp.bfloat16)
+    gs, gb = jnp.ones((c0 + c1,)), jnp.zeros((c0 + c1,))
+    kern = jnp.zeros((3, 3, c0 + c1, f))
+    bias = jnp.zeros((f,))
+
+    def fwd(x0, x1, gs, gb, kern, bias):
+        ats = gn_affine_parts((x0, x1), gs, gb, 32)
+        return fused_affine_silu_conv_parts((x0, x1), ats, kern, bias)
+
+    _lower_tpu(fwd, x0, x1, gs, gb, kern, bias)
+    _lower_tpu(
+        jax.grad(
+            lambda *a: jnp.sum(fwd(*a).astype(jnp.float32)),
+            argnums=tuple(range(6)),
+        ),
+        x0, x1, gs, gb, kern, bias,
+    )
