@@ -60,7 +60,7 @@ def supports_fused_head(shape: tuple, num_groups: int) -> bool:
     )
 
 
-def _head_kernel(cur_ref, top_ref, bot_ref, a_ref, t_ref, kern_ref, cbias_ref,
+def _head_kernel(cur_ref, top_ref, bot_ref, a_ref, t_ref, kern_ref,
                  out_ref, *, rows: int, mm_dtype):
     i = pl.program_id(1)
     nb = pl.num_programs(1)
@@ -103,8 +103,10 @@ def _head_kernel(cur_ref, top_ref, bot_ref, a_ref, t_ref, kern_ref, cbias_ref,
                 (((0,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-    out = acc.reshape(_F_PAD, rows, w) + cbias_ref[0].reshape(_F_PAD, 1, 1)
-    out_ref[0] = out
+    # NOTE: the conv bias is added by the caller after the NHWC transpose —
+    # a [1, F_PAD] lane vector can't be reshaped onto the sublane axis inside
+    # Mosaic (infer-vector-layout rejects vector<1x8> -> vector<8x1x1>).
+    out_ref[0] = acc.reshape(_F_PAD, rows, w)
 
 
 def unfused_gn_silu_conv(x, gn_scale, gn_bias, kernel, conv_bias, num_groups):
@@ -218,10 +220,8 @@ def _fused_forward(
     t = gn_bias[None, :] - mu_c * a
 
     kern = kernel.astype(jnp.float32)
-    cbias = conv_bias.astype(jnp.float32)
     if f < _F_PAD:
         kern = jnp.pad(kern, ((0, 0), (0, 0), (0, 0), (0, _F_PAD - f)))
-        cbias = jnp.pad(cbias, (0, _F_PAD - f))
 
     rb = _ROW_BLOCK
     hb = h // rb
@@ -248,7 +248,6 @@ def _fused_forward(
             pl.BlockSpec((1, 1, c), lambda bi, i: (bi, 0, 0)),
             pl.BlockSpec((1, 1, c), lambda bi, i: (bi, 0, 0)),
             pl.BlockSpec((3, 3, c, _F_PAD), lambda bi, i: (0, 0, 0, 0)),
-            pl.BlockSpec((1, _F_PAD), lambda bi, i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, _F_PAD, rb, w), lambda bi, i: (bi, 0, i, 0)),
         interpret=interpret,
@@ -260,6 +259,6 @@ def _fused_forward(
             + b * _F_PAD * h * w * 4,
             transcendentals=b * h * w * c,
         ),
-    )(x, x, x, a[:, None], t[:, None], kern, cbias.reshape(1, _F_PAD))
+    )(x, x, x, a[:, None], t[:, None], kern)
 
-    return y[:, :f].transpose(0, 2, 3, 1)
+    return y[:, :f].transpose(0, 2, 3, 1) + conv_bias.astype(jnp.float32)
