@@ -455,31 +455,69 @@ def _simple_payload(attrs: jnp.ndarray, front) -> jnp.ndarray:
     )
 
 
-def _aggregation_attrs(mesh: Mesh) -> jnp.ndarray:
-    """Per-vertex aggregation attributes: uv(2), edge/pad/eroded flags(3),
-    view-angle weight(1).
+def _agg_weight_mode() -> str:
+    """``fragment`` (default): reference-exact — world position and normal
+    ride as varyings and the ``exp(-20·acos(dir·normal))`` weight is computed
+    per resolved FRAGMENT (aggregation.fsh:28-35). ``vertex``: the round-2/3
+    approximation — weight computed per vertex and interpolated. The GLSL
+    oracle (tests/test_aggregation_oracle.py) measured the vertex mode
+    shifting blend ratios by >0.05 on ~8% of two-view overlap pixels when
+    normals are noisy at face scale; fragment mode costs 5 extra interpolated
+    attr channels + per-pixel transcendentals (TPU A/B: bench_agg.py)."""
+    v = os.environ.get("IVID_TPU_AGG_WEIGHT", "fragment")
+    assert v in ("fragment", "vertex"), v
+    return v
 
-    The weight is computed per VERTEX and interpolated, instead of per
-    fragment from interpolated normal/position (the GL shader does the
-    latter, aggregation.fsh:28-35). Depth-mesh faces are ~1 SSAA pixel wide,
-    so interpolating the weight across a face is indistinguishable — and it
-    drops 6 attribute channels and ~1M transcendentals per raster."""
+
+def _aggregation_attrs(mesh: Mesh, mode: Optional[str] = None) -> jnp.ndarray:
+    """Per-vertex aggregation varyings.
+
+    fragment mode: uv(2), edge/pad/eroded flags(3), world position(3),
+    normalized normal(3) — the literal aggregation.vsh varying set (the
+    weight is then computed per fragment in :func:`_agg_alpha`).
+    vertex mode: uv(2), flags(3), precomputed view-angle weight(1)."""
     flags = _unpacked_flags(mesh.flag)
+    nrm = mesh.normal / jnp.maximum(
+        jnp.linalg.norm(mesh.normal, axis=-1, keepdims=True), 1e-12
+    )
+    if (mode or _agg_weight_mode()) == "fragment":
+        return jnp.concatenate(
+            [mesh.uv, flags, mesh.positions, nrm], axis=-1
+        )
     sample_camera = cam.camera_position(mesh.modelview)
     direction = sample_camera[None, :] - mesh.positions
     direction = direction / jnp.maximum(
         jnp.linalg.norm(direction, axis=-1, keepdims=True), 1e-12
-    )
-    nrm = mesh.normal / jnp.maximum(
-        jnp.linalg.norm(mesh.normal, axis=-1, keepdims=True), 1e-12
     )
     cos = jnp.clip(jnp.sum(direction * nrm, axis=-1), 0.0, 1.0)
     wgt_vertex = jnp.exp(jnp.maximum(-20.0 * jnp.arccos(cos), -50.0))
     return jnp.concatenate([mesh.uv, flags, wgt_vertex[:, None]], axis=-1)
 
 
+def _agg_alpha_from_attrs(attrs_t, front, sample_camera, mode):
+    """Fragment-shader weight from interpolated varyings ``attrs_t`` [A, ...]
+    (channel-leading). fragment mode recomputes dir/normal per fragment
+    (aggregation.fsh:28-35); vertex mode reads the interpolated weight."""
+    edge, padding, eroded = attrs_t[2], attrs_t[3], attrs_t[4]
+    if mode == "fragment":
+        pos = jnp.moveaxis(attrs_t[5:8], 0, -1)
+        nrm = jnp.moveaxis(attrs_t[8:11], 0, -1)
+        direction = sample_camera - pos
+        direction = direction / jnp.maximum(
+            jnp.linalg.norm(direction, axis=-1, keepdims=True), 1e-12
+        )
+        nrm = nrm / jnp.maximum(
+            jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-12
+        )
+        cos = jnp.clip(jnp.sum(direction * nrm, axis=-1), 0.0, 1.0)
+        wgt_raw = jnp.exp(jnp.maximum(-20.0 * jnp.arccos(cos), -50.0))
+    else:
+        wgt_raw = attrs_t[5]
+    return _agg_alpha(edge, padding, eroded, wgt_raw, front)
+
+
 def _agg_alpha(edge, padding, eroded, wgt_raw, front):
-    """Aggregation fragment-shader weighting (aggregation.fsh:28-49)."""
+    """Aggregation fragment-shader weighting clamps (aggregation.fsh:36-49)."""
     wgt = jnp.maximum(wgt_raw, 1e-4)
     wgt = jnp.where(eroded >= 0.999, wgt * 1e-8, wgt)
     wgt = jnp.where((padding > 0.001) | (edge > 0.999), 1e-16, wgt)
@@ -504,8 +542,9 @@ def _aggregation_view_buffers_all(
     `_aggregation_view_buffers` calls in full mode."""
     n = meshes.positions.shape[0]
     r = render_size
+    mode = _agg_weight_mode()
     grid_size = int(round(np.sqrt(meshes.positions.shape[1])))
-    attrs = jax.vmap(_aggregation_attrs)(meshes)
+    attrs = jax.vmap(lambda m: _aggregation_attrs(m, mode))(meshes)
     mvp = projection @ modelview
     win, w = jax.vmap(
         lambda p: raster.project_vertices(p, mvp, r)
@@ -513,10 +552,15 @@ def _aggregation_view_buffers_all(
     sk = raster_dense.rasterize_grid_dense_batched(
         win, w, attrs, meshes.positions, grid_size, r, discard_attr=3
     )
-    alpha = _agg_alpha(
-        sk.attrs[:, 2], sk.attrs[:, 3], sk.attrs[:, 4], sk.attrs[:, 5],
-        sk.front,
-    )
+    sample_cams = jax.vmap(cam.camera_position)(meshes.modelview)  # [N,3]
+    alpha = jax.vmap(
+        lambda a, f, sc: _agg_alpha_from_attrs(
+            jnp.moveaxis(a, -1, 0), f, sc, mode
+        )
+    )(
+        sk.attrs.reshape(n, r * r, -1), sk.front.reshape(n, r * r),
+        sample_cams,
+    ).reshape(n * r * r)
     alpha = jnp.where(sk.covered, alpha, 0.0)
     depth_win = jnp.where(sk.covered, sk.depth, 1.0)
     uv = jnp.flip(sk.attrs[:, 0:2].reshape(n, r, r, 2), axis=1)
@@ -540,20 +584,23 @@ def _aggregation_view_buffers(
     """One view's raster into its own z-buffer, with the aggregation fragment
     shader's view-angle weighting (reference: shaders/aggregation.fsh:19-51).
     Returns (rgb [R,R,3], weight alpha [R,R], window depth [R,R])."""
-    attrs = _aggregation_attrs(mesh)
+    mode = _agg_weight_mode()
+    attrs = _aggregation_attrs(mesh, mode)
+    sample_cam = cam.camera_position(mesh.modelview)
     frags, dense = _raster_mesh(
         mesh, attrs, modelview, projection, render_size,
         interior_level, skirt_level, has_skirt,
     )
-    agg_alpha = _agg_alpha
+
+    def frag_alpha(frag_attrs, front):
+        return _agg_alpha_from_attrs(frag_attrs.T, front, sample_cam, mode)
 
     payloads = []
     new_frags = []
     for f in frags:
-        edge, padding, eroded = f.attrs[:, 2], f.attrs[:, 3], f.attrs[:, 4]
-        alpha = agg_alpha(edge, padding, eroded, f.attrs[:, 5], f.front)
+        alpha = frag_alpha(f.attrs, f.front)
         # Backface padding fragments discard entirely (no depth write).
-        discard = (~f.front) & (padding > 0.001)
+        discard = (~f.front) & (f.attrs[:, 3] > 0.001)
         new_frags.append(f._replace(valid=f.valid & ~discard))
         payloads.append(
             jnp.concatenate([f.attrs[:, 0:2], alpha[:, None]], axis=-1)
@@ -569,10 +616,7 @@ def _aggregation_view_buffers(
         # discard_attr=3: the interpolated padding channel drives the
         # backface-padding discard inside the per-pixel z-test.
         sk = _dense_raster(dense, attrs, mesh, render_size, discard_attr=3)
-        sk_alpha = agg_alpha(
-            sk.attrs[:, 2], sk.attrs[:, 3], sk.attrs[:, 4], sk.attrs[:, 5],
-            sk.front,
-        )
+        sk_alpha = frag_alpha(sk.attrs, sk.front)
         sk_alpha = jnp.where(sk.covered, sk_alpha, 0.0)
         sk_payload = jnp.concatenate(
             [sk.attrs[:, 0:2], sk_alpha[:, None]], axis=-1

@@ -11,6 +11,8 @@ state_dict conversion — everything except the weight values themselves
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 import torch
 import torch.nn as nn
 import torch.nn.functional as F

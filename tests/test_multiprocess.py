@@ -13,6 +13,10 @@ devices of a 4-device global mesh, and run the real trainer:
   master writes the grids).
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import json
 import os
 import socket

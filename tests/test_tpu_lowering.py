@@ -75,8 +75,10 @@ def test_dense_raster_lowers_for_tpu():
     from ivid_tpu.ops import raster_dense
 
     # Aggregation-slot production shapes: 130^2 grid mesh -> 384^2 buffer,
-    # single and batched (8 view slots in one launch).
-    g, R, A = 130, 384, 6
+    # single and batched (8 view slots in one launch). A=6 is the
+    # vertex-weight attr set; A=11 the fragment-weight (pos+normal varyings)
+    # production default.
+    g, R = 130, 384
     V = g * g
 
     def single(win, w, attrs, pos):
@@ -89,11 +91,13 @@ def test_dense_raster_lowers_for_tpu():
             win, w, attrs, pos, g, R, interpret=False
         )
 
-    args1 = (jnp.zeros((V, 3)), jnp.ones((V,)), jnp.zeros((V, A)),
-             jnp.zeros((V, 3)))
-    _lower_tpu(single, *args1)
-    argsb = tuple(jnp.broadcast_to(a, (8,) + a.shape) for a in args1)
-    _lower_tpu(batched, *argsb)
+    for A in (6, 11):
+        args1 = (jnp.zeros((V, 3)), jnp.ones((V,)), jnp.zeros((V, A)),
+                 jnp.zeros((V, 3)))
+        _lower_tpu(single, *args1)
+        argsb = tuple(jnp.broadcast_to(a, (8,) + a.shape) for a in args1)
+        _lower_tpu(batched, *argsb)
+    A = 6
 
     # Indexed-tris dense form (skirt ring / non-grid meshes).
     T = 1024

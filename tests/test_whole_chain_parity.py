@@ -46,9 +46,12 @@ from ivid_tpu.models.torch_compat import torch_state_dict_to_flax
 
 from ref_loader import HAVE_REFERENCE, import_reference
 
-pytestmark = pytest.mark.skipif(
-    not HAVE_REFERENCE, reason="reference checkout not available"
-)
+pytestmark = [
+    pytest.mark.skipif(
+        not HAVE_REFERENCE, reason="reference checkout not available"
+    ),
+    pytest.mark.slow,
+]
 
 N = 64  # samples per chain; the FID null calibration assumes a 32/32 split
 T = 100  # diffusion timesteps
