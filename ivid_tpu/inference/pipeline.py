@@ -22,6 +22,7 @@ rasterization for early views.
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import List, Optional
 
@@ -147,7 +148,7 @@ class ScenePipeline:
         # Cap the views aggregated per novel view to the K angularly nearest
         # (see select_nearest_views). None = reference-exact: every prior view.
         self.max_agg_views = max_agg_views
-        assert agg_batch_mode in ("map", "vmap")
+        assert agg_batch_mode in ("map", "vmap", "batch")
         # Multi-chip inference: shard the batch over the data mesh axis — the
         # TPU equivalent of the reference's per-GPU sampling processes
         # (reference: inference/sample.py:340-348). Aggregation must then vmap
@@ -234,11 +235,14 @@ class ScenePipeline:
     def _agg_body(self, meshes, colors, valid, modelview):
         """Batched condition aggregation (per slot-bucket program).
 
-        ``map`` (default) runs the batch sequentially: rasterization holds
-        ~0.5 GB of fragment buffers per sample, and a vmapped batch of 10
-        overruns a single 16 GB chip (observed TPU worker OOM-crash). ``vmap``
-        is for multi-chip runs where the batch is sharded over the data mesh
-        axis and per-device memory stays at a few samples."""
+        ``batch`` (single-chip default) rasters GROUPS of samples' slots in
+        one dense launch each (`aggregate_conditions_batch`), chunked by
+        ``IVID_TPU_AGG_GROUP`` to bound raster working memory (plane tables +
+        framebuffers ≈ 8 MB/slot at 384²; a fully vmapped batch of 10 through
+        the FRAGMENT path OOM-crashed the 16 GB chip in round 1). ``map`` is
+        the per-sample sequential fallback; ``vmap`` is for multi-chip runs
+        where the batch is sharded over the data mesh axis and per-device
+        memory stays at a few samples."""
 
         def agg_one(m, c, mv):
             return warp_ops.aggregate_conditions(
@@ -249,6 +253,28 @@ class ScenePipeline:
 
         if self.agg_batch_mode == "vmap":
             return jax.vmap(agg_one)(meshes, colors, modelview)
+        if self.agg_batch_mode == "batch":
+            b = colors.shape[0]
+            group = int(os.environ.get("IVID_TPU_AGG_GROUP", "4"))
+            # Largest divisor of b not exceeding the cap keeps one program.
+            group = max(g for g in range(1, min(group, b) + 1) if b % g == 0)
+
+            def agg_group(args):
+                m, c, mv = args
+                return warp_ops.aggregate_conditions_batch(
+                    m, c, valid, mv, fov=self.fov, near=self.near,
+                    far=self.far, atol=self.atol, rtol=self.rtol,
+                    erode_rgb=self.erode_rgb, ssaa=self.ssaa,
+                )
+
+            regroup = jax.tree.map(
+                lambda x: x.reshape((b // group, group) + x.shape[1:]),
+                (meshes, colors, modelview),
+            )
+            out = jax.lax.map(agg_group, regroup)
+            return jax.tree.map(
+                lambda x: x.reshape((b,) + x.shape[2:]), out
+            )
         return jax.lax.map(lambda a: agg_one(*a), (meshes, colors, modelview))
 
     def _guided_ddim_body(self, params, rng, agg, classes):

@@ -434,22 +434,27 @@ def _use_split_skip() -> bool:
 
 
 def _use_fused_head() -> bool:
-    """Output head: fused Pallas GN+SiLU+conv (TPU default) vs the unfused
-    fp32 composition. ``IVID_TPU_FUSED_HEAD=0|1`` overrides (``1`` off-TPU
-    runs the kernel in interpret mode — parity tests)."""
+    """Output head: fused Pallas GN+SiLU+conv vs the unfused fp32
+    composition. DEFAULT OFF: the round-4 model-step A/B measured the fused
+    head SLOWER in both production models (flagship 117.0 vs 115.4 ms, SR
+    305.3 vs 299.4 ms) despite winning the isolated op A/B — standalone-jit
+    baselines overstate unfused cost because XLA fuses the head's GN/SiLU
+    into neighbors inside the full graph. ``IVID_TPU_FUSED_HEAD=1`` opts in
+    (off-TPU it runs in interpret mode — parity tests)."""
     import os
 
-    v = os.environ.get("IVID_TPU_FUSED_HEAD", "auto")
-    if v in ("0", "1"):
-        return v == "1"
-    return jax.default_backend() == "tpu"
+    return os.environ.get("IVID_TPU_FUSED_HEAD", "0") == "1"
 
 
 def _use_fused_gnconv() -> bool:
     """ResBlock GN(+FiLM)+SiLU+conv3x3 fusion (ops/fused_gn_conv.py).
-    DEFAULT OFF until the on-chip A/B (bench_gnconv.py) proves it: kernels
-    that fight XLA's layout choices have lost before (dual-pointwise note in
-    CLAUDE.md). ``IVID_TPU_FUSED_GNCONV=1`` enables (interpret mode off-TPU)."""
+    DEFAULT OFF — the round-4 A/B REFUTED it at model level: the flagship
+    step regressed 115.4 → 140.0 ms (MFU 93.9 → 72.6%) with the fusion on,
+    though the isolated op A/B showed large wins (strawman baseline: a
+    standalone unfused jit can't fuse GN into the conv stream the way the
+    full model graph does), and the split-skip two-part variant VMEM-OOMs at
+    the SR 54×256²×128 shape. Kept as a measured negative result;
+    ``IVID_TPU_FUSED_GNCONV=1`` enables (interpret mode off-TPU)."""
     import os
 
     return os.environ.get("IVID_TPU_FUSED_GNCONV", "0") == "1"

@@ -35,7 +35,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 _FAR = 9.0  # matches raster_tiled sentinel; valid window z in [0, 1]
 _TC = 128  # triangles per kernel chunk (keeps [row, 6·TC] panels in VMEM)
-_PWP = 24  # payload plane rows per chunk, 8-sublane aligned (pw = 3A+5 ≤ 23)
+def _pwp(A: int) -> int:
+    """Payload plane rows per chunk for A attr channels: 3A+5 rows (a/b/c
+    plane per channel + 1/w planes + front + ones) rounded up to the 8-sublane
+    tile. 24 for the classic A≤6 payloads; 40 for the 11-channel
+    fragment-weight aggregation varyings."""
+    return -(-(3 * A + 5) // 8) * 8
 _BIG_SPAN = 32.0  # window-y span above which a triangle skips y-binning
 
 
@@ -487,8 +492,9 @@ def _dense_kernel_impl(lohi_ref, span_ref, glob_ref, geom_ref, pay_ref,
     qx = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0).astype(jnp.float32) + 0.5
     qy = ty.astype(jnp.float32) + 0.5
 
+    pwp = acc_s.shape[1]
     zbuf_s[...] = jnp.full((r, 1), _FAR, jnp.float32)
-    acc_s[...] = jnp.zeros((r, _PWP), jnp.float32)
+    acc_s[...] = jnp.zeros((r, pwp), jnp.float32)
 
     def chunk(c, carry):
         @pl.when(
@@ -514,7 +520,7 @@ def _dense_kernel_impl(lohi_ref, span_ref, glob_ref, geom_ref, pay_ref,
             zc = jnp.min(zm, axis=1, keepdims=True)
             win = ((zm == zc) & (zc < 1.5)).astype(jnp.float32)
             acc_c = jax.lax.dot_general(
-                win, pay_ref[pl.ds(c * _PWP, _PWP), :],
+                win, pay_ref[pl.ds(c * pwp, pwp), :],
                 (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
             )  # [r, PWP]
             zbuf = zbuf_s[...]
@@ -593,8 +599,7 @@ def _pallas_prep(pln, r, A):
         + [pln["ac"][:, i] for i in range(A)]
         + [wa, wb, wc, frontf]
     )
-    pw = 3 * A + 5
-    assert pw <= _PWP, f"payload planes {pw} exceed {_PWP}"
+    pwp = _pwp(A)
     packed = jnp.stack(
         geom_cols + pay_cols
         + [jnp.clip(ymin, -1e6, 1e6), jnp.clip(ymax, -1e6, 1e6)],
@@ -623,11 +628,11 @@ def _pallas_prep(pln, r, A):
         [
             packed[:, ng : ng + npay],
             jnp.ones((Tp, 1)),
-            jnp.zeros((Tp, _PWP - npay - 1)),
+            jnp.zeros((Tp, pwp - npay - 1)),
         ],
         axis=-1,
     )
-    pay = payp.reshape(nc, _TC, _PWP).transpose(0, 2, 1).reshape(nc * _PWP, _TC)
+    pay = payp.reshape(nc, _TC, pwp).transpose(0, 2, 1).reshape(nc * pwp, _TC)
 
     ymin_s = packed[:, ng + npay]
     ymax_s = packed[:, ng + npay + 1]
@@ -665,18 +670,19 @@ def _pallas_raster(pln, r, interpret=False) -> DenseRaster:
     lohi, spans, glob, geom, pay = _pallas_prep(pln, r, A)
     lohi, spans = lohi.T, spans.T  # [2, N] — see the kernel's SMEM note
     nc = geom.shape[0] // 8
+    pwp = _pwp(A)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(r,),
         in_specs=[
             pl.BlockSpec((nc * 8, 6 * _TC), lambda t, lh, sp, gl: (0, 0)),
-            pl.BlockSpec((nc * _PWP, _TC), lambda t, lh, sp, gl: (0, 0)),
+            pl.BlockSpec((nc * pwp, _TC), lambda t, lh, sp, gl: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, r, 1 + _PWP), lambda t, lh, sp, gl: (t, 0, 0)),
+        out_specs=pl.BlockSpec((1, r, 1 + pwp), lambda t, lh, sp, gl: (t, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((r, 1), jnp.float32),
-            pltpu.VMEM((r, _PWP), jnp.float32),
+            pltpu.VMEM((r, pwp), jnp.float32),
         ],
     )
     out = pl.pallas_call(
@@ -684,11 +690,11 @@ def _pallas_raster(pln, r, interpret=False) -> DenseRaster:
             lh, sp, gl, g_ref, p_ref, o_ref, zs, as_, r=r
         ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((r, r, 1 + _PWP), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((r, r, 1 + pwp), jnp.float32),
         interpret=interpret,
     )(lohi, spans, glob, geom, pay)
 
-    return _pallas_finish(out.reshape(npix, 1 + _PWP), r, npix, A)
+    return _pallas_finish(out.reshape(npix, 1 + pwp), r, npix, A)
 
 
 def _pallas_raster_batched(pln, r, interpret=False) -> DenseRaster:
@@ -730,19 +736,20 @@ def _pallas_raster_batched(pln, r, interpret=False) -> DenseRaster:
     glob = glob.reshape(B, 2).T
     spans = spans.reshape(B * nc, 2).T
     geom = geom.reshape(B * nc * 8, 6 * _TC)
-    pay = pay.reshape(B * nc * _PWP, _TC)
+    pwp = _pwp(A)
+    pay = pay.reshape(B * nc * pwp, _TC)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(B * r,),
         in_specs=[
             pl.BlockSpec((nc * 8, 6 * _TC), lambda t, lh, sp, gl: (t // r, 0)),
-            pl.BlockSpec((nc * _PWP, _TC), lambda t, lh, sp, gl: (t // r, 0)),
+            pl.BlockSpec((nc * pwp, _TC), lambda t, lh, sp, gl: (t // r, 0)),
         ],
-        out_specs=pl.BlockSpec((1, r, 1 + _PWP), lambda t, lh, sp, gl: (t, 0, 0)),
+        out_specs=pl.BlockSpec((1, r, 1 + pwp), lambda t, lh, sp, gl: (t, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((r, 1), jnp.float32),
-            pltpu.VMEM((r, _PWP), jnp.float32),
+            pltpu.VMEM((r, pwp), jnp.float32),
         ],
     )
     out = pl.pallas_call(
@@ -751,11 +758,11 @@ def _pallas_raster_batched(pln, r, interpret=False) -> DenseRaster:
             chunks_per_buf=nc,
         ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B * r, r, 1 + _PWP), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B * r, r, 1 + pwp), jnp.float32),
         interpret=interpret,
     )(lohi, spans, glob, geom, pay)
 
-    return _pallas_finish(out.reshape(npix, 1 + _PWP), r, npix, A)
+    return _pallas_finish(out.reshape(npix, 1 + pwp), r, npix, A)
 
 
 def _pallas_finish(out, r, npix, A):

@@ -545,10 +545,17 @@ def _aggregation_view_buffers_all(
     mode = _agg_weight_mode()
     grid_size = int(round(np.sqrt(meshes.positions.shape[1])))
     attrs = jax.vmap(lambda m: _aggregation_attrs(m, mode))(meshes)
+    # ``modelview``: one shared render camera [4,4], or per-slot [N,4,4]
+    # (the batched-over-samples form, where each sample may aim elsewhere).
     mvp = projection @ modelview
-    win, w = jax.vmap(
-        lambda p: raster.project_vertices(p, mvp, r)
-    )(meshes.positions)
+    if mvp.ndim == 2:
+        win, w = jax.vmap(
+            lambda p: raster.project_vertices(p, mvp, r)
+        )(meshes.positions)
+    else:
+        win, w = jax.vmap(
+            lambda p, m: raster.project_vertices(p, m, r)
+        )(meshes.positions, mvp)
     sk = raster_dense.rasterize_grid_dense_batched(
         win, w, attrs, meshes.positions, grid_size, r, discard_attr=3
     )
@@ -657,71 +664,84 @@ def render_aggregation(
     # rasters every slot's z-buffer (see _aggregation_view_buffers_all);
     # the scan below then only runs the elementwise accumulation. Mirrors
     # _raster_mesh's full-mode gate.
-    v_cnt, f_cnt = meshes.positions.shape[1], meshes.faces.shape[1]
+    if _agg_full_gate(meshes):
+        bufs = _aggregation_view_buffers_all(
+            meshes, colors, modelview, projection, r
+        )
+        return _accumulate_agg_buffers(bufs, valid, r, near, far)
+
+    def body(state, view):
+        mesh, color, is_valid = view
+        rgb, alpha, d = _aggregation_view_buffers(
+            mesh, color, modelview, projection, r,
+            interior_level, skirt_level, has_skirt,
+        )
+        return _agg_accumulate_step(state, rgb, alpha, d, is_valid), None
+
+    state, _ = jax.lax.scan(body, _agg_init_state(r), (meshes, colors, valid))
+    return _agg_readback(state, near, far)
+
+
+def _agg_full_gate(meshes: Mesh) -> bool:
+    """True when the stacked slots are dense-raster-compatible grid meshes and
+    full-raster mode is on (mirrors _raster_mesh's full-mode gate)."""
+    v_cnt, f_cnt = meshes.positions.shape[-2], meshes.faces.shape[-2]
     g = int(round(np.sqrt(v_cnt)))
     dense_max = int(os.environ.get("IVID_TPU_DENSE_MAX_TRIS", "100000"))
-    batched_full = (
+    return (
         _raster_mode() == "full"
         and g * g == v_cnt and f_cnt == 2 * (g - 1) ** 2 and g >= 3
         and f_cnt <= dense_max
     )
-    if batched_full:
-        bufs = _aggregation_view_buffers_all(
-            meshes, colors, modelview, projection, r
-        )
 
-    def body(state, view):
-        if batched_full:
-            rgb, alpha, d, is_valid = view
-        else:
-            mesh, color, is_valid = view
-            rgb, alpha, d = _aggregation_view_buffers(
-                mesh, color, modelview, projection, r,
-                interior_level, skirt_level, has_skirt,
-            )
-        alpha = alpha * is_valid.astype(alpha.dtype)
 
-        acc_rgb, acc_a, acc_d, acc_dw, acc_md, acc_mc = state
-        weight_color = alpha
-        weight_depth = jnp.where(
-            alpha > 1e-14, 1.0, jnp.where(alpha > 0.0, 1e-8, 0.0)
-        )
-        mask_color = (alpha > 1e-6).astype(jnp.float32)
-        mask_depth = (alpha > 1e-14).astype(jnp.float32)
-
-        # Near-zero-weight depth-max branch (aggregation.csh:27-38): while only
-        # padding/edge-weight fragments have accumulated, keep the FARTHEST.
-        both_pad = (jnp.abs(acc_dw - 1e-8) < 1e-8) & (
-            jnp.abs(weight_depth - 1e-8) < 1e-8
-        )
-        replace = both_pad & (d * 1e-8 > acc_d)
-
-        def upd(acc, new, add):
-            return jnp.where(replace, new, jnp.where(both_pad, acc, acc + add))
-
-        contrib_rgb = rgb * weight_color[..., None]
-        acc_rgb = jnp.where(
-            replace[..., None],
-            contrib_rgb,
-            jnp.where(both_pad[..., None], acc_rgb, acc_rgb + contrib_rgb),
-        )
-        acc_a = upd(acc_a, weight_color, weight_color)
-        acc_d = upd(acc_d, d * 1e-8, d * weight_depth)
-        acc_dw = upd(acc_dw, 1e-8, weight_depth)
-        acc_md = acc_md + mask_depth
-        acc_mc = acc_mc + mask_color
-        return (acc_rgb, acc_a, acc_d, acc_dw, acc_md, acc_mc), None
-
-    init = (
+def _agg_init_state(r: int):
+    return (
         jnp.zeros((r, r, 3)), jnp.zeros((r, r)), jnp.zeros((r, r)),
         jnp.zeros((r, r)), jnp.zeros((r, r)), jnp.zeros((r, r)),
     )
-    xs = bufs + (valid,) if batched_full else (meshes, colors, valid)
-    (acc_rgb, acc_a, acc_d, acc_dw, acc_md, acc_mc), _ = jax.lax.scan(
-        body, init, xs
-    )
 
-    # Readback normalization (moderngl_renderer.py:318-331).
+
+def _agg_accumulate_step(state, rgb, alpha, d, is_valid):
+    """One view's aggregation.csh accumulation (reference:
+    shaders/aggregation.csh:14-49)."""
+    alpha = alpha * is_valid.astype(alpha.dtype)
+
+    acc_rgb, acc_a, acc_d, acc_dw, acc_md, acc_mc = state
+    weight_color = alpha
+    weight_depth = jnp.where(
+        alpha > 1e-14, 1.0, jnp.where(alpha > 0.0, 1e-8, 0.0)
+    )
+    mask_color = (alpha > 1e-6).astype(jnp.float32)
+    mask_depth = (alpha > 1e-14).astype(jnp.float32)
+
+    # Near-zero-weight depth-max branch (aggregation.csh:27-38): while only
+    # padding/edge-weight fragments have accumulated, keep the FARTHEST.
+    both_pad = (jnp.abs(acc_dw - 1e-8) < 1e-8) & (
+        jnp.abs(weight_depth - 1e-8) < 1e-8
+    )
+    replace = both_pad & (d * 1e-8 > acc_d)
+
+    def upd(acc, new, add):
+        return jnp.where(replace, new, jnp.where(both_pad, acc, acc + add))
+
+    contrib_rgb = rgb * weight_color[..., None]
+    acc_rgb = jnp.where(
+        replace[..., None],
+        contrib_rgb,
+        jnp.where(both_pad[..., None], acc_rgb, acc_rgb + contrib_rgb),
+    )
+    acc_a = upd(acc_a, weight_color, weight_color)
+    acc_d = upd(acc_d, d * 1e-8, d * weight_depth)
+    acc_dw = upd(acc_dw, 1e-8, weight_depth)
+    acc_md = acc_md + mask_depth
+    acc_mc = acc_mc + mask_color
+    return (acc_rgb, acc_a, acc_d, acc_dw, acc_md, acc_mc)
+
+
+def _agg_readback(state, near, far):
+    """Readback normalization (moderngl_renderer.py:318-331)."""
+    acc_rgb, acc_a, acc_d, acc_dw, acc_md, acc_mc = state
     color = jnp.where(
         acc_a[..., None] > 0.0, acc_rgb / jnp.maximum(acc_a[..., None], 1e-24), 0.0
     )
@@ -733,6 +753,77 @@ def render_aggregation(
         "mask_color": (acc_mc > 0.5)[..., None],
         "mask_depth": (acc_md > 0.5)[..., None],
     }
+
+
+def _accumulate_agg_buffers(bufs, valid, r, near, far):
+    """Scan the csh accumulation over pre-rastered view buffers
+    (rgb [N,R,R,3], alpha [N,R,R], depth [N,R,R])."""
+
+    def body(state, view):
+        rgb, alpha, d, is_valid = view
+        return _agg_accumulate_step(state, rgb, alpha, d, is_valid), None
+
+    state, _ = jax.lax.scan(body, _agg_init_state(r), bufs + (valid,))
+    return _agg_readback(state, near, far)
+
+
+def render_aggregation_batch(
+    meshes: Mesh,
+    colors: jnp.ndarray,
+    valid: jnp.ndarray,
+    modelview: jnp.ndarray,
+    fov: float = 45.0,
+    render_size: int = 384,
+    near: float = 0.01,
+    far: float = 200.0,
+) -> dict:
+    """B samples' aggregation renders in ONE raster launch.
+    ``meshes``/``colors`` carry leading [B, N] axes; ``valid`` [N] is shared
+    (all samples expose the same live slot count); ``modelview`` is one
+    shared render camera [4,4] or per-sample [B,4,4]. Returns the
+    :func:`render_aggregation` dict with a leading B axis.
+
+    In full-raster mode all B·N slot z-buffers come from a single batched
+    per-row dense launch, amortizing the plane-building / weighting glue
+    across the whole batch instead of per sample (the round-3 slot batching,
+    extended across the sample axis). Callers bound peak memory by chunking B
+    (plane tables + framebuffers are ~8 MB/slot at 384**2)."""
+    b, n = colors.shape[0], colors.shape[1]
+    r = render_size
+    per_sample_mv = modelview.ndim == 3
+    if not _agg_full_gate(meshes):
+        if per_sample_mv:
+            return jax.lax.map(
+                lambda mc: render_aggregation(
+                    mc[0], mc[1], valid, mc[2], fov, r, near, far
+                ),
+                (meshes, colors, modelview),
+            )
+        return jax.lax.map(
+            lambda mc: render_aggregation(
+                mc[0], mc[1], valid, modelview, fov, r, near, far
+            ),
+            (meshes, colors),
+        )
+    projection = cam.perspective(fov, 1.0, near, far)
+    flat = jax.tree.map(
+        lambda x: x.reshape((b * n,) + x.shape[2:]), meshes
+    )
+    mv_flat = (
+        jnp.repeat(modelview, n, axis=0) if per_sample_mv else modelview
+    )
+    rgb, alpha, d = _aggregation_view_buffers_all(
+        flat, colors.reshape((b * n,) + colors.shape[2:]), mv_flat,
+        projection, r,
+    )
+    bufs = (
+        rgb.reshape(b, n, r, r, 3),
+        alpha.reshape(b, n, r, r),
+        d.reshape(b, n, r, r),
+    )
+    return jax.vmap(
+        lambda bb: _accumulate_agg_buffers(bb, valid, r, near, far)
+    )(bufs)
 
 
 def stack_meshes(meshes: list) -> Mesh:

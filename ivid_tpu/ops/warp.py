@@ -194,6 +194,46 @@ def aggregate_conditions(
         meshes, colors, valid, modelview, fov, render_size,
         render_near, render_far,
     )
+    return _condition_tail(res, s, ssaa, near, far, mode, atol, rtol, erode_rgb)
+
+
+def aggregate_conditions_batch(
+    meshes: geom.Mesh,
+    colors: jnp.ndarray,
+    valid: jnp.ndarray,
+    modelview: jnp.ndarray,
+    fov: float = 45.0,
+    near: float = 0.5,
+    far: float = 100.0,
+    mode: str = "z_buffer",
+    atol: float = 0.02,
+    rtol: float = 0.02,
+    erode_rgb: int = 2,
+    ssaa: int = 3,
+    render_near: float = 0.01,
+    render_far: float = 200.0,
+) -> dict:
+    """B samples' :func:`aggregate_conditions` of the SAME novel view in one
+    raster launch (meshes/colors carry leading [B, N] axes, ``valid`` [N]
+    shared). The slot rasters of the whole sample batch amortize into a
+    single batched dense launch (rend.render_aggregation_batch); the tail
+    image ops vmap over B."""
+    s = colors.shape[2]
+    render_size = s * ssaa
+    res = rend.render_aggregation_batch(
+        meshes, colors, valid, modelview, fov, render_size,
+        render_near, render_far,
+    )
+    return jax.vmap(
+        lambda r: _condition_tail(
+            r, s, ssaa, near, far, mode, atol, rtol, erode_rgb
+        )
+    )(res)
+
+
+def _condition_tail(res, s, ssaa, near, far, mode, atol, rtol, erode_rgb):
+    """Condition post-processing shared by the single and batched forms
+    (reference: rgbd_3d/utils.py:455-477)."""
     color = im.resize_lanczos_8bit(res["color"], s)
     depth = im.ssaa_subsample(res["depth"], ssaa)
     depth = geom.project_depth(depth, near, far, mode)

@@ -255,3 +255,83 @@ def test_forward_backward_warp_batch_matches_per_sample():
             np.testing.assert_allclose(
                 np.asarray(single[k]), np.asarray(batched[k][b]), atol=1e-5,
                 err_msg=f"{k}[{b}]")
+
+
+def test_aggregate_conditions_batch_matches_per_sample(monkeypatch):
+    """The one-launch sample-batched aggregation (render_aggregation_batch /
+    aggregate_conditions_batch) equals per-sample aggregate_conditions in
+    full-raster mode, including per-sample render cameras."""
+    rng = np.random.RandomState(5)
+    B, N, S = 3, 4, 16
+    depth = jnp.asarray(rng.uniform(0.3, 0.8, (B, N, S, S, 1)).astype(np.float32))
+    colors = jnp.asarray(rng.uniform(0, 1, (B, N, S, S, 3)).astype(np.float32))
+    src_mvs = jnp.stack(
+        [cam.orbit_modelview(0.1 * i, 0.05 * i) for i in range(N)])
+    meshes = jax.vmap(jax.vmap(
+        lambda d, mv: geom.depth_to_mesh(
+            d, padding="frustum", fov=45.0, modelview=mv, atol=0.02,
+            rtol=0.02, cal_normal=True)
+    ), in_axes=(0, None))(depth, src_mvs)
+    valid = jnp.array([True, True, True, False])
+    targets = jnp.stack(
+        [cam.orbit_modelview(0.15 + 0.02 * b, 0.02 - 0.01 * b)
+         for b in range(B)])
+
+    monkeypatch.setenv("IVID_TPU_RASTER_MODE", "full")
+    batched = warp_ops.aggregate_conditions_batch(
+        meshes, colors, valid, targets, near=0.5, far=100.0)
+    for b in range(B):
+        single = warp_ops.aggregate_conditions(
+            jax.tree.map(lambda x: x[b], meshes), colors[b], valid,
+            targets[b], near=0.5, far=100.0)
+        for k in single:
+            np.testing.assert_allclose(
+                np.asarray(single[k]), np.asarray(batched[k][b]), atol=1e-5,
+                err_msg=f"{k}[{b}]")
+
+
+def test_pipeline_agg_body_batch_mode_matches_map(monkeypatch):
+    """ScenePipeline._agg_body in 'batch' mode (grouped one-launch rasters)
+    equals 'map' mode, with a group size that does NOT divide the batch."""
+    from ivid_tpu.diffusion import build_framework
+    from ivid_tpu.inference.pipeline import ScenePipeline
+    from ivid_tpu.models import build_adm_unet
+
+    monkeypatch.setenv("IVID_TPU_RASTER_MODE", "full")
+    monkeypatch.setenv("IVID_TPU_AGG_GROUP", "2")
+    rng = np.random.RandomState(9)
+    B, N, S = 3, 4, 16
+
+    cfg = dict(image_size=S, in_channels=4, out_channels=4, model_channels=8,
+               num_res_blocks=1, channel_mult=[1], attention_resolutions=[],
+               num_groups=4, num_heads=1, num_head_channels=None,
+               num_classes=None, has_null_class=False, dropout=0.0,
+               use_fp16=False)
+    model = build_adm_unet(cfg)
+    fw = build_framework(
+        "ClassifierFreeGuidance", model,
+        {"timesteps": 100, "beta_schedule": "linear", "p_uncond": 0.1})
+    pipe = ScenePipeline(
+        fw, fw, image_size=S, max_views=N, steps_uncond=2, steps_cond=2,
+        near=0.5, far=100.0, agg_batch_mode="batch")
+
+    depth = jnp.asarray(rng.uniform(0.3, 0.8, (B, N, S, S, 1)).astype(np.float32))
+    colors = jnp.asarray(rng.uniform(0, 1, (B, N, S, S, 3)).astype(np.float32))
+    src_mvs = jnp.stack(
+        [cam.orbit_modelview(0.1 * i, 0.05 * i) for i in range(N)])
+    meshes = jax.vmap(jax.vmap(
+        lambda d, mv: geom.depth_to_mesh(
+            d, padding="frustum", fov=pipe.fov, modelview=mv, atol=pipe.atol,
+            rtol=pipe.rtol, erode_rgb=pipe.erode_rgb, cal_normal=True)
+    ), in_axes=(0, None))(depth, src_mvs)
+    valid = jnp.array([True, True, True, False])
+    targets = jnp.stack(
+        [cam.orbit_modelview(0.15 + 0.02 * b, 0.02) for b in range(B)])
+
+    got = pipe._agg_body(meshes, colors, valid, targets)
+    pipe.agg_batch_mode = "map"
+    want = pipe._agg_body(meshes, colors, valid, targets)
+    for k in want:
+        np.testing.assert_allclose(
+            np.asarray(want[k]), np.asarray(got[k]), atol=1e-5,
+            err_msg=k)
