@@ -14,11 +14,12 @@ Method notes:
   result-caches identical dispatches, so every rep folds the loop index in.
 - Parameters are zeros placed via ``jax.eval_shape`` (a full random init of
   the 550M model is a separate giant XLA program — irrelevant to throughput).
-- The secondary full-3x9 metric is composed from measured pieces: with the
-  power-of-two slot bucketing and the K=8 nearest-view aggregation cap
-  (sample.py --max_agg_views 8) a 27-view sequence costs
-  1000·t_step + 26·t_ddim_cond + 187·t_agg_slot; the reference-exact uncapped
-  loop costs 441 slot-rasters and is reported alongside.
+- The secondary full-3x9 metric is composed from measured pieces and reports
+  the REFERENCE-EXACT uncapped aggregation loop as primary (mult4 slot
+  bucketing: 390 slot-rasters/sequence, each rastering the whole batch's
+  buffers in one sample-batched launch); the K=8 nearest-view cap
+  (sample.py --max_agg_views 8) is a measured lossy knob
+  (tests/test_kcap_bound.py) reported alongside as `_k8capped_lossy`.
 
 ``vs_baseline`` compares against an ESTIMATED A100 reference throughput — the
 reference publishes no numbers (BASELINE.md). Estimate: the flagship uncond
@@ -140,28 +141,43 @@ def main():
     colors1 = sl(state.colors)
     valid1 = jnp.asarray(state.valid[:1])
 
-    # Per-slot aggregation raster, amortized inside one program (K reps).
+    # Whole-batch aggregation raster (one slot, all `batch` samples) through
+    # the production sample-batched dense path (agg_batch_mode="batch":
+    # groups of IVID_TPU_AGG_GROUP samples' slot z-buffers per launch),
+    # amortized inside one program (K reps).
     K = 8
 
-    @jax.jit
-    def agg_reps(seed):
-        def body(c, i):
-            eps = (i + seed).astype(jnp.float32) * 1e-6
-            agg = pipe._agg_body(meshes1, colors1, valid1, mv0 + eps)
-            return c + jnp.sum(agg["color"]), None
+    def agg_reps_fn(mode):
+        pipe.agg_batch_mode = mode
 
-        total, _ = jax.lax.scan(body, 0.0, jnp.arange(K, dtype=jnp.int32))
-        return total
+        @jax.jit
+        def agg_reps(seed):
+            def body(c, i):
+                eps = (i + seed).astype(jnp.float32) * 1e-6
+                agg = pipe._agg_body(meshes1, colors1, valid1, mv0 + eps)
+                return c + jnp.sum(agg["color"]), None
 
-    _ = float(agg_reps(jnp.int32(0)))
-    best = 1e9
-    for r in range(2):
-        t0 = time.perf_counter()
-        _ = float(agg_reps(jnp.int32(r + 1)))
-        best = min(best, time.perf_counter() - t0)
-    # One rep = `batch` sequential slot-rasters (agg_batch_mode="map").
-    t_agg_slot = (best - floor) / K / batch
+            total, _ = jax.lax.scan(body, 0.0, jnp.arange(K, dtype=jnp.int32))
+            return total
+
+        _ = float(agg_reps(jnp.int32(0)))
+        best = 1e9
+        for r in range(2):
+            t0 = time.perf_counter()
+            _ = float(agg_reps(jnp.int32(r + 1)))
+            best = min(best, time.perf_counter() - t0)
+        return (best - floor) / K
+
+    # One rep = the whole batch's slot rasters. A/B the sample-batched launch
+    # against the per-sample sequential fallback and charge the winner.
+    t_agg_batched = agg_reps_fn("batch")
+    t_agg_map = agg_reps_fn("map")
+    results["agg_batch16_batched_ms"] = t_agg_batched * 1000
+    results["agg_batch16_map_ms"] = t_agg_map * 1000
+    t_agg_batch = min(t_agg_batched, t_agg_map)
+    t_agg_slot = t_agg_batch / batch
     results["agg_slot_ms"] = t_agg_slot * 1000
+    pipe.agg_batch_mode = "batch" if t_agg_batched <= t_agg_map else "map"
 
     # Guided 50-step cond DDIM (the expensive half of a cond view).
     agg1 = jax.jit(pipe._agg_body)(meshes1, colors1, valid1, mv0)
@@ -175,7 +191,7 @@ def main():
     results["cond_ddim50_s"] = t_ddim_cond
 
     # Eval protocol: 1000 uncond steps + 1 cond view (agg + 50-step DDIM).
-    t_cond_view = batch * t_agg_slot + t_ddim_cond
+    t_cond_view = t_agg_batch + t_ddim_cond
     results["cond_view_s"] = t_cond_view
     t_per_batch = 1000 * t_step + t_cond_view
     samples_per_sec = batch / t_per_batch
@@ -184,7 +200,10 @@ def main():
     # Secondary: full 3x9 fusion (27-view scene per sample). Slot-raster
     # counts follow the pipeline's bucketing exactly (pipeline._slot_bucket;
     # mult4 default: 390 uncapped, 192 with the K=8 nearest-view cap); each
-    # cond view adds two dispatch floors.
+    # cond view adds two dispatch floors. The PRIMARY 3x9 number is the
+    # reference-exact uncapped loop — the K=8 nearest-view cap is a measured
+    # LOSSY knob (tests/test_kcap_bound.py: 26.7% of conditioning-mask pixels
+    # flip at 128²) and is reported alongside as such.
     from ivid_tpu.inference.pipeline import _slot_bucket
 
     def n_slots(cap):
@@ -197,11 +216,11 @@ def main():
         return (
             1000 * t_step
             + 26 * (t_ddim_cond + 2 * floor)
-            + slot_rasters * batch * t_agg_slot
+            + slot_rasters * t_agg_batch
         )
 
-    results["full_3x9_scenes_per_sec"] = batch / t_3x9(n_slots(8))
-    results["full_3x9_scenes_per_sec_uncapped"] = batch / t_3x9(n_slots(None))
+    results["full_3x9_scenes_per_sec"] = batch / t_3x9(n_slots(None))
+    results["full_3x9_scenes_per_sec_k8capped_lossy"] = batch / t_3x9(n_slots(8))
 
     # SR cascade step (secondary metric; reference: configs/*_sr.json,
     # diffusion/trainers/superres.py:124 — 50-step guided DDIM at 256²).
