@@ -190,108 +190,6 @@ def _flip_to_image_rows(out, depth_win, covered, render_size, num_buffers):
     return out, depth_win, covered
 
 
-def _shifted(padded: jnp.ndarray, n: int, d: jnp.ndarray) -> jnp.ndarray:
-    """``x`` shifted down by traced ``d`` with the first ``d`` rows taken from
-    the (identity-element) pad half of ``padded = concat([pad, x])``."""
-    start = (n - d,) + (0,) * (padded.ndim - 1)
-    return jax.lax.dynamic_slice(padded, start, (n,) + padded.shape[1:])
-
-
-def _segmented_scan(values: jnp.ndarray, starts: jnp.ndarray, op, identity):
-    """Forward segmented inclusive scan by iterative doubling inside a
-    ``fori_loop`` — one O(N) level body compiled once and executed ⌈log2 N⌉
-    times (an unrolled ``associative_scan`` at N≈10⁶ takes the TPU compiler
-    minutes; this compiles in seconds). No scatters."""
-    n = values.shape[0]
-    levels = max(1, int(np.ceil(np.log2(n))))
-    pad_v = jnp.full((n,) + values.shape[1:], identity, values.dtype)
-    pad_f = jnp.ones((n,), bool)  # out-of-range acts as a segment boundary
-
-    def body(level, carry):
-        v, f = carry
-        d = 1 << level
-        v_sh = _shifted(jnp.concatenate([pad_v, v]), n, d)
-        f_sh = _shifted(jnp.concatenate([pad_f, f]), n, d)
-        fb = f if v.ndim == 1 else f[:, None]
-        v2 = jnp.where(fb, v, op(v_sh, v))
-        return v2, f | f_sh
-
-    out, _ = jax.lax.fori_loop(0, levels, body, (values, starts))
-    return out
-
-
-def _segmented_min_scan(values: jnp.ndarray, starts: jnp.ndarray) -> jnp.ndarray:
-    """Within each run (delimited by ``starts``) element i holds
-    min(values[run_start..i])."""
-    return _segmented_scan(values, starts, jnp.minimum, jnp.inf)
-
-
-def _segmented_sum_scan(values: jnp.ndarray, starts: jnp.ndarray) -> jnp.ndarray:
-    """Forward segmented running-sum along axis 0; ``values`` is [N, K]."""
-    return _segmented_scan(values, starts, jnp.add, 0.0)
-
-
-def resolve_zbuffer_sorted(
-    fragments: Sequence[FragmentBatch],
-    payloads: Sequence[jnp.ndarray],
-    render_size: int,
-    num_buffers: int = 1,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Depth-test all fragment batches into one framebuffer — sort-based,
-    scatter-free (TPU-native: XLA:TPU scatters serialize; sort + segmented
-    scans + binary-search gathers stay fully vectorized).
-
-    Algorithm: sort fragments by pixel id; a log-depth segmented scan computes
-    each pixel-run's depth minimum; the dense framebuffer reads each pixel's
-    run tail via ``searchsorted``; winners (depth == run min, GL '<' test
-    semantics) contribute payload via a segmented sum, tie-averaged.
-
-    ``payloads[i]`` is [N_i, K]. Returns ``(payload [R,R,K], depth_win [R,R],
-    covered [R,R])`` in image row order (row 0 = top; GL readback flip,
-    reference: moderngl_renderer.py:124-140)."""
-    npix = num_buffers * render_size * render_size
-    pix = jnp.concatenate([f.pixel for f in fragments])
-    d = jnp.concatenate([f.depth for f in fragments])
-    valid = jnp.concatenate([f.valid for f in fragments])
-    payload = jnp.concatenate(payloads, axis=0)
-
-    key = jnp.where(valid, pix, npix).astype(jnp.int32)
-    d_masked = jnp.where(valid, d, jnp.inf).astype(jnp.float32)
-    pix_s, d_s, order = jax.lax.sort(
-        (key, d_masked, jnp.arange(key.shape[0], dtype=jnp.int32)), num_keys=1
-    )
-    pay_s = jnp.take(payload, order, axis=0)
-
-    starts = jnp.concatenate(
-        [jnp.ones((1,), bool), pix_s[1:] != pix_s[:-1]]
-    )
-    runmin = _segmented_min_scan(d_s, starts)
-
-    # Winner mask needs the run TOTAL min, which lives at each run's tail; the
-    # dense zbuf is also read from run tails, so build it first and gather back.
-    pos = jnp.searchsorted(pix_s, jnp.arange(npix, dtype=jnp.int32), side="right") - 1
-    covered_flat = (pos >= 0) & (jnp.take(pix_s, jnp.maximum(pos, 0)) == jnp.arange(npix))
-    zbuf = jnp.where(
-        covered_flat, jnp.take(runmin, jnp.maximum(pos, 0)), jnp.inf
-    )
-
-    win = (d_s <= jnp.take(zbuf, jnp.minimum(pix_s, npix - 1))) & (pix_s < npix)
-    winf = win.astype(pay_s.dtype)
-    acc = _segmented_sum_scan(
-        jnp.concatenate([pay_s * winf[:, None], winf[:, None]], axis=-1), starts
-    )
-    acc_tail = jnp.take(acc, jnp.maximum(pos, 0), axis=0)
-    cnt = jnp.maximum(acc_tail[:, -1], 1.0)
-    out = jnp.where(
-        covered_flat[:, None], acc_tail[:, :-1] / cnt[:, None], 0.0
-    )
-
-    covered = covered_flat & jnp.isfinite(zbuf)
-    depth_win = jnp.where(covered, zbuf, 1.0)
-
-    return _flip_to_image_rows(out, depth_win, covered, render_size, num_buffers)
-
-
 def resolve_zbuffer(
     fragments: Sequence[FragmentBatch],
     payloads: Sequence[jnp.ndarray],
@@ -310,10 +208,12 @@ def resolve_zbuffer(
     v5e vs 25.7 ms for the XLA scatter resolve. On CPU (tests) the scatter
     resolve is the default (Pallas runs interpreted there).
 
-    Override with ``IVID_TPU_RASTER`` ∈ {auto, tiled, scatter, sorted,
-    replay}; the legacy flags ``IVID_TPU_SORTED_RASTER=1`` /
-    ``IVID_TPU_PALLAS_RASTER=1`` still select the sorted / sequential-replay
-    variants.
+    Override with ``IVID_TPU_RASTER`` ∈ {auto, tiled, scatter}. Two
+    retired A/B variants were deleted after the round-3/4 measurement
+    campaign settled the production path (ledger, BASELINE.md): a
+    sort + segmented-scan pure-XLA resolve (34.9 ms/slot) and a sequential
+    VMEM fragment-replay Pallas kernel (40.7 ms/slot) — both dominated by
+    the tiled sort+dense-depth-test kernel (3.0 ms).
     """
     import os
 
@@ -321,12 +221,7 @@ def resolve_zbuffer(
 
     choice = os.environ.get("IVID_TPU_RASTER", "auto")
     if choice == "auto":
-        if os.environ.get("IVID_TPU_PALLAS_RASTER") == "1":
-            choice = "replay"
-        elif os.environ.get("IVID_TPU_SORTED_RASTER") == "1":
-            choice = "sorted"
-        else:
-            choice = "tiled" if jax.default_backend() == "tpu" else "scatter"
+        choice = "tiled" if jax.default_backend() == "tpu" else "scatter"
         if choice == "tiled":
             from ivid_tpu.ops import raster_tiled
 
@@ -343,21 +238,6 @@ def resolve_zbuffer(
             fragments, payloads, render_size,
             interpret=jax.default_backend() != "tpu",
             num_buffers=num_buffers,
-        )
-    if choice == "replay":
-        from ivid_tpu.ops.raster_pallas import resolve_zbuffer_pallas
-
-        if num_buffers > 1:
-            # The replay kernel is single-buffer; batched callers (warp
-            # groups, full-mode aggregation) fall back to the sorted resolve
-            # instead of failing the whole trace on an A/B knob.
-            return resolve_zbuffer_sorted(
-                fragments, payloads, render_size, num_buffers=num_buffers
-            )
-        return resolve_zbuffer_pallas(fragments, payloads, render_size)
-    if choice == "sorted":
-        return resolve_zbuffer_sorted(
-            fragments, payloads, render_size, num_buffers=num_buffers
         )
     return resolve_zbuffer_scatter(
         fragments, payloads, render_size, num_buffers=num_buffers

@@ -48,7 +48,6 @@ def test_batched_resolves_match_per_sample():
 
     variants = [
         ("scatter", raster.resolve_zbuffer_scatter),
-        ("sorted", raster.resolve_zbuffer_sorted),
         ("tiled", lambda fr, pl, r, num_buffers: resolve_zbuffer_tiled(
             fr, pl, r, interpret=True, num_buffers=num_buffers)),
     ]
@@ -65,28 +64,6 @@ def test_batched_resolves_match_per_sample():
                 err_msg=f"{name} depth[{b}]")
             assert np.array_equal(np.asarray(cov[b]), np.asarray(sc)), (
                 name, b)
-
-
-def test_replay_override_falls_back_on_multi_buffer(monkeypatch):
-    """IVID_TPU_RASTER=replay is single-buffer; batched callers (warp groups)
-    must fall back to the sorted resolve instead of failing the trace."""
-    rng = np.random.RandomState(3)
-    B, V, T, R = 2, 20, 12, 32
-    tris = jnp.asarray(rng.randint(0, V, (T, 3)).astype(np.int32))
-    npix = R * R
-    frs, pls = [], []
-    for b in range(B):
-        win, w, attrs = _random_verts(rng, 1, V, -5, 37)
-        f = raster.generate_fragments(win[0], w[0], attrs[0], tris, R, level=3)
-        f = f._replace(pixel=jnp.where(f.valid, f.pixel + b * npix, B * npix))
-        frs.append(f)
-        pls.append(f.attrs)
-
-    want = raster.resolve_zbuffer_sorted(frs, pls, R, num_buffers=B)
-    monkeypatch.setenv("IVID_TPU_RASTER", "replay")
-    got = raster.resolve_zbuffer(frs, pls, R, num_buffers=B)
-    for g, w_ in zip(got, want):
-        np.testing.assert_allclose(np.asarray(g), np.asarray(w_), atol=1e-6)
 
 
 @pytest.mark.parametrize("discard", [None, 1])
