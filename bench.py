@@ -131,9 +131,20 @@ def main():
     import ivid_tpu.inference.viewsets as vs
 
     state = pipe.init_state(batch)
-    rgbd01 = jnp.clip(
-        jax.random.uniform(jax.random.PRNGKey(1), (batch, s, s, 4)), 0.01, 0.99
+    # Structured depth (smooth ramp + gentle bumps): i.i.d.-noise depth fails
+    # the mesh atol/rtol disconnect test on nearly every face, leaving only
+    # the frustum skirt live in the raster — unrepresentatively cheap. A
+    # smooth field keeps all ~32k faces/sample live like a real scene, so the
+    # charged aggregation cost reflects production meshes.
+    ii = jnp.linspace(0, 1, s)
+    yy, xx = jnp.meshgrid(ii, ii, indexing="ij")
+    base = 0.35 + 0.3 * yy + 0.05 * jnp.sin(xx * 21) * jnp.sin(yy * 17)
+    ph = jnp.arange(batch, dtype=jnp.float32)[:, None, None] * 0.7
+    depth = jnp.clip(base[None] + 0.02 * jnp.sin(xx[None] * 9 + ph), 0.05, 0.95)
+    rgb = jnp.clip(
+        jax.random.uniform(jax.random.PRNGKey(1), (batch, s, s, 3)), 0.01, 0.99
     )
+    rgbd01 = jnp.concatenate([rgb, depth[..., None]], axis=-1)
     mv0 = jnp.broadcast_to(jnp.asarray(vs.canonical_view()), (batch, 4, 4))
     state = pipe.add_view(state, 0, rgbd01, mv0)
     sl = lambda x: x[:, :1]

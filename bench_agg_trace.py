@@ -42,9 +42,17 @@ def main():
                          steps_cond=50, guidance=0.5)
 
     state = pipe.init_state(1)
-    rgbd01 = jnp.clip(
-        jax.random.uniform(jax.random.PRNGKey(1), (1, S, S, 4)), 0.01, 0.99
+    # Structured depth keeps all mesh faces live (i.i.d. noise fails the
+    # atol/rtol disconnect test and leaves only the skirt — see bench.py).
+    ii = jnp.linspace(0, 1, S)
+    yy, xx = jnp.meshgrid(ii, ii, indexing="ij")
+    depth = jnp.clip(
+        0.35 + 0.3 * yy + 0.05 * jnp.sin(xx * 21) * jnp.sin(yy * 17), 0.05, 0.95
     )
+    rgb = jnp.clip(
+        jax.random.uniform(jax.random.PRNGKey(1), (1, S, S, 3)), 0.01, 0.99
+    )
+    rgbd01 = jnp.concatenate([rgb, depth[None, ..., None]], axis=-1)
     mvs = vs.build_viewset("3x9", 1)
     for v in range(NSLOTS):
         mv = jnp.broadcast_to(jnp.asarray(mvs[v % len(mvs)]), (1, 4, 4))
