@@ -489,6 +489,17 @@ def _dense_kernel_impl(lohi_ref, span_ref, glob_ref, geom_ref, pay_ref,
         ty = t - b * rows_per_buf
         glob_lo, glob_hi = glob_ref[0, b], glob_ref[1, b]
         span_off = b * chunks_per_buf
+    _raster_row(lohi_ref, span_ref, glob_lo, glob_hi, geom_ref, pay_ref,
+                zbuf_s, acc_s, t, ty, span_off, r)
+    out_ref[0, :, 0:1] = zbuf_s[...]
+    out_ref[0, :, 1:] = acc_s[...]
+
+
+def _raster_row(lohi_ref, span_ref, glob_lo, glob_hi, geom_ref, pay_ref,
+                zbuf_s, acc_s, t, ty, span_off, r):
+    """The shared per-row chunk loops: z-test every y-overlapping triangle
+    chunk and leave (zbuf_s [r,1], acc_s [r,PWP]) holding the per-pixel
+    winner depth and tie-summed payload planes + count."""
     qx = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0).astype(jnp.float32) + 0.5
     qy = ty.astype(jnp.float32) + 0.5
 
@@ -534,8 +545,6 @@ def _dense_kernel_impl(lohi_ref, span_ref, glob_ref, geom_ref, pay_ref,
 
     jax.lax.fori_loop(lohi_ref[0, t], lohi_ref[1, t], chunk, 0)
     jax.lax.fori_loop(glob_lo, glob_hi, chunk, 0)
-    out_ref[0, :, 0:1] = zbuf_s[...]
-    out_ref[0, :, 1:] = acc_s[...]
 
 
 def _pallas_prep(pln, r, A):
@@ -545,27 +554,12 @@ def _pallas_prep(pln, r, A):
     — all in LOCAL chunk ids / window y, so the batched launcher can stack B
     preps and offset the chunk ids."""
     T = pln["front"].shape[0]
-    nc = -(-T // _TC)
-    Tp = nc * _TC
-    pad = Tp - T
     valid = pln["valid"]
     win_y = pln["py"]
 
     # Window-y spans; invalid tris get an empty interval.
     ymin = jnp.where(valid, jnp.min(win_y, axis=1), jnp.inf)
     ymax = jnp.where(valid, jnp.max(win_y, axis=1), -jnp.inf)
-    big = (ymax - ymin) > _BIG_SPAN
-    # Sort key: y-binnable tris by ymin, then big tris, then invalid — the
-    # per-row chunk ranges below assume exactly this grouping.
-    key = jnp.where(
-        valid & ~big, jnp.clip(ymin, -1e6, 1e6), jnp.where(valid, 2e6, 3e6)
-    )
-    key_s, order = jax.lax.sort(
-        (key, jnp.arange(T, dtype=jnp.int32)), num_keys=1
-    )
-    n_small = jnp.sum(valid & ~big)
-    n_valid = jnp.sum(valid)
-
     # Fold validity into the z plane: invalid/padded tris interpolate z=_FAR
     # everywhere and fail the z-range test.
     za = jnp.where(valid, pln["za"], 0.0)
@@ -584,9 +578,6 @@ def _pallas_prep(pln, r, A):
     frontf = pln["front"].astype(jnp.float32)
     zero = jnp.zeros((T,))
 
-    # ONE packed [T, 44] table so the y-sort permutation is a single row
-    # gather: 18 geometry plane coefficients (6 planes × x/y/const), then
-    # 3A+4 payload plane columns, then the y-span pair.
     geom_cols = [
         pln["ea"][:, 0], pln["eb"][:, 0], pln["ec"][:, 0],
         pln["ea"][:, 1], pln["eb"][:, 1], pln["ec"][:, 1],
@@ -599,6 +590,35 @@ def _pallas_prep(pln, r, A):
         + [pln["ac"][:, i] for i in range(A)]
         + [wa, wb, wc, frontf]
     )
+    return _prep_pack(geom_cols, pay_cols, ymin, ymax, valid, r, A)
+
+
+def _prep_pack(geom_cols, pay_cols, ymin, ymax, valid, r, A):
+    """Shared tail of the per-row kernel prep, from plane COLUMN lists
+    ([T] arrays each — geometry 18, payload 3A+4) to the kernel tables.
+    Taking columns (not [T, C] stacks) keeps every op 1-D: [T, small-C]
+    intermediates tile to (8, 128) on TPU and their slices/copies cost
+    ~20× their logical bytes (profiled ~1 ms/slot on the corners path)."""
+    T = geom_cols[0].shape[0]
+    nc = -(-T // _TC)
+    Tp = nc * _TC
+    pad = Tp - T
+    big = (ymax - ymin) > _BIG_SPAN
+
+    # Sort key: y-binnable tris by ymin, then big tris, then invalid — the
+    # per-row chunk ranges below assume exactly this grouping.
+    key = jnp.where(
+        valid & ~big, jnp.clip(ymin, -1e6, 1e6), jnp.where(valid, 2e6, 3e6)
+    )
+    key_s, order = jax.lax.sort(
+        (key, jnp.arange(T, dtype=jnp.int32)), num_keys=1
+    )
+    n_small = jnp.sum(valid & ~big)
+    n_valid = jnp.sum(valid)
+
+    # ONE packed [T, 44] table so the y-sort permutation is a single row
+    # gather: 18 geometry plane coefficients (6 planes × x/y/const), then
+    # 3A+4 payload plane columns, then the y-span pair.
     pwp = _pwp(A)
     packed = jnp.stack(
         geom_cols + pay_cols
@@ -763,6 +783,258 @@ def _pallas_raster_batched(pln, r, interpret=False) -> DenseRaster:
     )(lohi, spans, glob, geom, pay)
 
     return _pallas_finish(out.reshape(npix, 1 + pwp), r, npix, A)
+
+
+def _grid_cols_t(win, w, attrs, positions, grid_size, discard_attr):
+    """Channelwise plane columns for a regular-grid depth mesh: the full
+    :func:`_planes_from_corners` math rewritten over 1-D [T] arrays built
+    straight from [g, g] grid slices, in BLOCK face order (t = f·n² + cell;
+    triangle order is semantically free — the y-sort in `_prep_pack`
+    reorders anyway and z-test ties resolve by order-independent sums).
+
+    The corners path materializes [T, 3, 4+A] intermediates whose (8, 128)
+    TPU tiling inflates every slice/copy ~20×— profiled ~0.95 ms/slot of
+    pure data formatting at 384². Here every op is elementwise on [T]
+    vectors, which XLA folds into a handful of loop fusions.
+
+    Returns ``(geom_cols, pay_cols, ymin, ymax, valid)`` ready for
+    :func:`_prep_pack` (z-validity and the backface-discard plane already
+    folded)."""
+    from ivid_tpu.ops.geometry import triangulate_face_type
+
+    g = grid_size
+    A = attrs.shape[-1]
+    ft = triangulate_face_type(positions.reshape(g, g, 3))
+    f = ft.reshape(-1)
+
+    def corners(vals):
+        """[g, g] vertex grid -> per-face corner values, 3 × [T]. Matches
+        geometry.triangulate's faces (tr, tl, ft ? br : bl) and
+        (bl, br, ft ? tl : tr), block order (all face-0 then all face-1)."""
+        G = vals.reshape(g, g)
+        tl = G[:-1, :-1].reshape(-1)
+        tr = G[:-1, 1:].reshape(-1)
+        bl = G[1:, :-1].reshape(-1)
+        br = G[1:, 1:].reshape(-1)
+        c0 = jnp.concatenate([tr, bl])
+        c1 = jnp.concatenate([tl, br])
+        c2 = jnp.concatenate([jnp.where(f, br, bl), jnp.where(f, tl, tr)])
+        return c0, c1, c2
+
+    x0, x1, x2 = corners(win[:, 0])
+    y0, y1, y2 = corners(win[:, 1])
+    z0, z1, z2 = corners(win[:, 2])
+    w0, w1, w2 = corners(w)
+
+    valid = (w0 > 1e-6) & (w1 > 1e-6) & (w2 > 1e-6)
+    iw0 = 1.0 / jnp.where(w0 > 1e-6, w0, 1.0)
+    iw1 = 1.0 / jnp.where(w1 > 1e-6, w1, 1.0)
+    iw2 = 1.0 / jnp.where(w2 > 1e-6, w2, 1.0)
+
+    dx10, dy10 = x1 - x0, y1 - y0
+    dx20, dy20 = x2 - x0, y2 - y0
+    area2 = dx10 * dy20 - dx20 * dy10
+    front = area2 > 0.0
+    valid = valid & (jnp.abs(area2) > 1e-12)
+    sgn = jnp.where(area2 >= 0.0, 1.0, -1.0)
+    safe = jnp.where(jnp.abs(area2) > 1e-12, area2, 1.0)
+
+    def edge(px, py, qx, qy):
+        dx, dy = qx - px, qy - py
+        return -dy * sgn, dx * sgn, (dy * px - dx * py) * sgn
+
+    ea0, eb0, ec0 = edge(x0, y0, x1, y1)
+    ea1, eb1, ec1 = edge(x1, y1, x2, y2)
+    ea2, eb2, ec2 = edge(x2, y2, x0, y0)
+
+    def plane(f0, f1, f2):
+        a = ((f1 - f0) * dy20 - (f2 - f0) * dy10) / safe
+        b = ((f2 - f0) * dx10 - (f1 - f0) * dx20) / safe
+        return a, b, f0 - a * x0 - b * y0
+
+    za, zb, zc = plane(z0, z1, z2)
+    wa, wb, wc = plane(iw0, iw1, iw2)
+    aa, ab, ac = [], [], []
+    for i in range(A):
+        a0, a1, a2 = corners(attrs[:, i])
+        pa, pb, pc = plane(a0 * iw0, a1 * iw1, a2 * iw2)
+        aa.append(pa)
+        ab.append(pb)
+        ac.append(pc)
+
+    # Folds (mirrors _pallas_prep): z plane invalid -> const FAR; the
+    # backface-padding discard as one plane D = dnum − 0.001·dden.
+    za_f = jnp.where(valid, za, 0.0)
+    zb_f = jnp.where(valid, zb, 0.0)
+    zc_f = jnp.where(valid, zc, _FAR)
+    if discard_attr is not None:
+        da = aa[discard_attr] - 0.001 * wa
+        db = ab[discard_attr] - 0.001 * wb
+        dc = ac[discard_attr] - 0.001 * wc
+    else:
+        T = x0.shape[0]
+        da = jnp.zeros((T,))
+        db = jnp.zeros((T,))
+        dc = jnp.full((T,), -1.0)
+    frontf = front.astype(jnp.float32)
+    zero = jnp.zeros_like(frontf)
+
+    geom_cols = [
+        ea0, eb0, ec0, ea1, eb1, ec1, ea2, eb2, ec2,
+        za_f, zb_f, zc_f, da, db, dc, zero, zero, frontf,
+    ]
+    pay_cols = aa + ab + ac + [wa, wb, wc, frontf]
+    ymin = jnp.where(valid, jnp.minimum(jnp.minimum(y0, y1), y2), jnp.inf)
+    ymax = jnp.where(valid, jnp.maximum(jnp.maximum(y0, y1), y2), -jnp.inf)
+    return geom_cols, pay_cols, ymin, ymax, valid
+
+
+def _dense_agg_kernel(lohi_ref, span_ref, glob_ref, cam_ref, geom_ref,
+                      pay_ref, out_ref, zbuf_s, acc_s, *, r, rows_per_buf,
+                      chunks_per_buf, A, weight_mode):
+    """Per-row raster + AGGREGATION epilogue: instead of dumping the 1+PWP
+    plane accumulator (41 lanes padded to 128 in HBM — ~75 MB/slot at 384²),
+    finish the per-pixel work in VMEM and emit 8 final channels
+    ``[depth|2.0, uv·cov, cos-or-weight, edge, padding, eroded, front]`` as
+    an exact-layout [1, 8, r] block (4.7 MB/slot). The weight transcendental
+    ``exp(−20·acos·)`` stays host-side (one cheap fusion over the 8-channel
+    image) so Mosaic only needs sqrt/div. ``cam_ref``: SMEM f32 [3, B]
+    per-buffer sample-camera positions (fragment weight mode)."""
+    t = pl.program_id(0)
+    b = t // rows_per_buf
+    ty = t - b * rows_per_buf
+    glob_lo, glob_hi = glob_ref[0, b], glob_ref[1, b]
+    span_off = b * chunks_per_buf
+    _raster_row(lohi_ref, span_ref, glob_lo, glob_hi, geom_ref, pay_ref,
+                zbuf_s, acc_s, t, ty, span_off, r)
+
+    zbuf = zbuf_s[...]                                  # [r, 1]
+    acc = acc_s[...]                                    # [r, PWP]
+    qx = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0).astype(jnp.float32) + 0.5
+    qy = ty.astype(jnp.float32) + 0.5
+    cnt = acc[:, 3 * A + 4 : 3 * A + 5]
+    sel = acc / jnp.maximum(cnt, 1.0)
+    den = jnp.maximum(
+        qx * sel[:, 3 * A : 3 * A + 1]
+        + qy * sel[:, 3 * A + 1 : 3 * A + 2]
+        + sel[:, 3 * A + 2 : 3 * A + 3],
+        1e-12,
+    )
+
+    def val(i):
+        return (
+            qx * sel[:, i : i + 1]
+            + qy * sel[:, A + i : A + i + 1]
+            + sel[:, 2 * A + i : 2 * A + i + 1]
+        ) / den
+
+    cov = zbuf < 1.5
+    m = cov.astype(jnp.float32)
+    uvx, uvy = val(0), val(1)
+    edge_v, pad_v, ero_v = val(2), val(3), val(4)
+    if weight_mode == "fragment":
+        px, py, pz = val(5), val(6), val(7)
+        nx, ny, nz = val(8), val(9), val(10)
+        dx = cam_ref[0, b] - px
+        dy = cam_ref[1, b] - py
+        dz = cam_ref[2, b] - pz
+        dn = jnp.maximum(jnp.sqrt(dx * dx + dy * dy + dz * dz), 1e-12)
+        nn = jnp.maximum(jnp.sqrt(nx * nx + ny * ny + nz * nz), 1e-12)
+        # Same per-component normalize-then-dot order as the host form
+        # (_agg_alpha_from_attrs) — acos amplifies cos differences near 1.
+        c5 = jnp.clip(
+            (dx / dn) * (nx / nn) + (dy / dn) * (ny / nn)
+            + (dz / dn) * (nz / nn),
+            0.0, 1.0,
+        )
+    else:
+        c5 = val(5)
+    frontv = (acc[:, 3 * A + 3 : 3 * A + 4] * 2.0 > cnt).astype(jnp.float32)
+    depth2 = jnp.where(cov, zbuf, 2.0)
+    out8 = jnp.concatenate(
+        [depth2, uvx * m, uvy * m, c5, edge_v, pad_v, ero_v, frontv], axis=1
+    )  # [r, 8]
+    # Transpose via an exact identity matmul (one-nonzero rows: no rounding);
+    # Mosaic has no sub-tile [r, 8] -> [8, r] relayout.
+    eye = (
+        jax.lax.broadcasted_iota(jnp.int32, (8, 8), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (8, 8), 1)
+    ).astype(jnp.float32)
+    out_ref[0] = jax.lax.dot_general(
+        eye, out8, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def rasterize_grid_agg_batched(
+    win: jnp.ndarray,
+    w: jnp.ndarray,
+    attrs: jnp.ndarray,
+    positions: jnp.ndarray,
+    grid_size: int,
+    render_size: int,
+    sample_cams: jnp.ndarray,
+    weight_mode: str = "fragment",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """B aggregation view slots rastered AND shaded-to-channels in one
+    launch: channelwise transposed prep (`_grid_cols_t`) + the per-row
+    kernel with the aggregation epilogue (`_dense_agg_kernel`). Returns
+    raw [B·r, 8, r] channel rows in window order (row 0 = window bottom):
+    ``0`` window z (2.0 where empty), ``1``/``2`` uv·covered, ``3`` clipped
+    view-angle cosine (fragment mode) or interpolated weight (vertex mode),
+    ``4``/``5``/``6`` edge/padding/eroded varyings, ``7`` front-majority.
+    Buffer b owns rows [b·r, (b+1)·r). Pallas-only (gate with
+    :func:`_use_pallas`); renderer._aggregation_view_buffers_all finishes
+    alpha/rgb (reference semantics: shaders/aggregation.fsh:19-51)."""
+    B = win.shape[0]
+    r = render_size
+    A = attrs.shape[-1]
+    if weight_mode == "fragment":
+        assert A == 11, A
+    else:
+        assert A == 6, A
+
+    def prep_one(win_v, w_v, attrs_v, pos_v):
+        cols = _grid_cols_t(win_v, w_v, attrs_v, pos_v, grid_size,
+                            discard_attr=3)
+        return _prep_pack(*cols, r, A)
+
+    lohi, spans, glob, geom, pay = jax.vmap(prep_one)(win, w, attrs, positions)
+
+    nc = geom.shape[1] // 8
+    pwp = _pwp(A)
+    lohi = lohi.reshape(B * r, 2).T
+    glob = glob.reshape(B, 2).T
+    spans = spans.reshape(B * nc, 2).T
+    geom = geom.reshape(B * nc * 8, 6 * _TC)
+    pay = pay.reshape(B * nc * pwp, _TC)
+    cam = sample_cams.astype(jnp.float32).T  # [3, B] (SMEM lane-pad note)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(B * r,),
+        in_specs=[
+            pl.BlockSpec((nc * 8, 6 * _TC),
+                         lambda t, lh, sp, gl, cm: (t // r, 0)),
+            pl.BlockSpec((nc * pwp, _TC),
+                         lambda t, lh, sp, gl, cm: (t // r, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 8, r), lambda t, lh, sp, gl, cm: (t, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((r, 1), jnp.float32),
+            pltpu.VMEM((r, pwp), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        lambda lh, sp, gl, cm, g_ref, p_ref, o_ref, zs, as_: _dense_agg_kernel(
+            lh, sp, gl, cm, g_ref, p_ref, o_ref, zs, as_, r=r,
+            rows_per_buf=r, chunks_per_buf=nc, A=A, weight_mode=weight_mode,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B * r, 8, r), jnp.float32),
+        interpret=interpret,
+    )(lohi, spans, glob, cam, geom, pay)
 
 
 def _pallas_finish(out, r, npix, A):

@@ -113,6 +113,28 @@ def test_dense_raster_lowers_for_tpu():
                jnp.zeros((V, A)), tris)
 
 
+def test_fused_agg_raster_lowers_for_tpu():
+    from ivid_tpu.ops import raster_dense
+
+    # Production aggregation shapes: 130² grid meshes, 384² buffers, up to
+    # 24 slots per launch (the 3x9 slot-bucket max). The epilogue's identity
+    # matmul transpose + f32 SMEM camera prefetch are the novel pieces.
+    g, R = 130, 384
+    V = g * g
+    for B, A, mode in ((8, 11, "fragment"), (24, 11, "fragment"),
+                       (8, 6, "vertex")):
+        def f(win, w, attrs, pos, cams, mode=mode):
+            return raster_dense.rasterize_grid_agg_batched(
+                win, w, attrs, pos, g, R, cams, weight_mode=mode,
+                interpret=False,
+            )
+
+        _lower_tpu(
+            f, jnp.zeros((B, V, 3)), jnp.ones((B, V)), jnp.zeros((B, V, A)),
+            jnp.zeros((B, V, 3)), jnp.zeros((B, 3)),
+        )
+
+
 def test_graft_entry_lowers_for_tpu(monkeypatch):
     monkeypatch.setenv("IVID_TPU_FUSED_HEAD", "1")
     monkeypatch.setenv("IVID_TPU_SPLIT_SKIP", "1")
