@@ -319,6 +319,28 @@ def rasterize_grid_dense_batched(
             covered=outs.covered.reshape(-1),
         )
 
+    # ``IVID_TPU_AGG_PREP=cols``: channelwise transposed prep — plane
+    # columns straight from grid slices, skipping the [B, T, 3, 4+A]
+    # corners intermediates whose (8,128) tiling made their slices/copies
+    # ~0.95 ms/slot (see _grid_cols_t). Default stays ``corners`` until the
+    # on-chip A/B runs (bench_agg_trace.py); the fused epilogue path
+    # (rasterize_grid_agg_batched) always uses the cols prep.
+    import os
+
+    if os.environ.get("IVID_TPU_AGG_PREP", "corners") == "cols":
+        A = attrs.shape[-1]
+        npix = B * render_size * render_size
+
+        def prep_one(win_v, w_v, attrs_v, pos_v):
+            cols = _grid_cols_t(win_v, w_v, attrs_v, pos_v, g, discard_attr)
+            return _prep_pack(*cols, render_size, A)
+
+        tables = jax.vmap(prep_one)(win, w, attrs, positions)
+        out = _launch_batched(tables, B, render_size, A, interpret)
+        return _pallas_finish(
+            out.reshape(npix, 1 + _pwp(A)), render_size, npix, A
+        )
+
     def corners_one(win_v, w_v, attrs_v, pos_v):
         ft = triangulate_face_type(pos_v.reshape(g, g, 3))
         packed = jnp.concatenate([win_v, w_v[:, None], attrs_v], axis=-1)
@@ -745,8 +767,15 @@ def _pallas_raster_batched(pln, r, interpret=False) -> DenseRaster:
     if pln["dnum"] is not None:
         # [B, 3, T] so vmap's axis-0 mapping keeps the batch leading.
         pv["dnum_stack"] = jnp.stack(pln["dnum"], 1)
-    lohi, spans, glob, geom, pay = jax.vmap(prep)(pv)
+    tables = jax.vmap(prep)(pv)
+    out = _launch_batched(tables, B, r, A, interpret)
+    return _pallas_finish(out.reshape(npix, 1 + _pwp(A)), r, npix, A)
 
+
+def _launch_batched(tables, B, r, A, interpret):
+    """Launch the batched per-row PLANE kernel from vmapped prep tables.
+    Returns the raw [B·r, r, 1+PWP] accumulator output."""
+    lohi, spans, glob, geom, pay = tables
     nc = geom.shape[1] // 8  # chunks per buffer
     # lohi/glob keep LOCAL chunk ids — geom/pay are PER-BUFFER VMEM blocks
     # (index t // r), so the resident table always belongs to the program's
@@ -772,7 +801,7 @@ def _pallas_raster_batched(pln, r, interpret=False) -> DenseRaster:
             pltpu.VMEM((r, pwp), jnp.float32),
         ],
     )
-    out = pl.pallas_call(
+    return pl.pallas_call(
         lambda lh, sp, gl, g_ref, p_ref, o_ref, zs, as_: _dense_kernel_impl(
             lh, sp, gl, g_ref, p_ref, o_ref, zs, as_, r=r, rows_per_buf=r,
             chunks_per_buf=nc,
@@ -781,8 +810,6 @@ def _pallas_raster_batched(pln, r, interpret=False) -> DenseRaster:
         out_shape=jax.ShapeDtypeStruct((B * r, r, 1 + pwp), jnp.float32),
         interpret=interpret,
     )(lohi, spans, glob, geom, pay)
-
-    return _pallas_finish(out.reshape(npix, 1 + pwp), r, npix, A)
 
 
 def _grid_cols_t(win, w, attrs, positions, grid_size, discard_attr):

@@ -101,10 +101,17 @@ def _texture_nearest(color: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
 def _texture_nearest_xy(color: jnp.ndarray, u: jnp.ndarray,
                         v: jnp.ndarray) -> jnp.ndarray:
     """:func:`_texture_nearest` with split uv channels — avoids staging a
-    [..., 2] uv array whose 2-lane tail pads to 128 on TPU."""
+    [..., 2] uv array whose 2-lane tail pads to 128 on TPU.
+
+    ``IVID_TPU_TEX_GATHER``: ``2d`` (default) indexes [s, s, 3] with two
+    index arrays; ``flat`` gathers rows of the flattened [s², 3] texture by
+    one fused index (A/B: the 2-D gather profiled 0.62 ms/slot at 384²,
+    ~3 GB/s effective — far off the gather unit's roof)."""
     s = color.shape[0]
     j = jnp.clip(jnp.floor(u * s).astype(jnp.int32), 0, s - 1)
     i = jnp.clip(jnp.floor(v * s).astype(jnp.int32), 0, s - 1)
+    if os.environ.get("IVID_TPU_TEX_GATHER", "2d") == "flat":
+        return jnp.take(color.reshape(s * s, 3), i * s + j, axis=0)
     return color[i, j]
 
 

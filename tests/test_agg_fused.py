@@ -65,6 +65,31 @@ def test_fused_agg_matches_view_buffers(mode, monkeypatch):
     assert flips < 1e-3, f"rgb flip fraction {flips}"
 
 
+def test_cols_prep_matches_corners_prep(monkeypatch):
+    """IVID_TPU_AGG_PREP=cols (channelwise transposed prep) must reproduce
+    the corners-path plane tables through the unchanged plane kernel."""
+    src, r = 24, 64
+    meshes, colors = _make_scene(3, 2, src)
+    mode = rend._agg_weight_mode()
+    attrs = jax.vmap(lambda m: rend._aggregation_attrs(m, mode))(meshes)
+    proj = cam.perspective(45.0, 1.0, 0.01, 200.0)
+    mvp = proj @ cam.orbit_modelview(0.2, 0.0)
+    g = src + 2
+    win, w = jax.vmap(
+        lambda p: raster.project_vertices(p, mvp, r))(meshes.positions)
+
+    outs = {}
+    for prep in ("corners", "cols"):
+        monkeypatch.setenv("IVID_TPU_AGG_PREP", prep)
+        outs[prep] = raster_dense.rasterize_grid_dense_batched(
+            win, w, attrs, meshes.positions, g, r, discard_attr=3,
+            interpret=True)
+    for f in ("attrs", "depth", "front", "covered"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(outs["cols"], f)),
+            np.asarray(getattr(outs["corners"], f)), atol=1e-5, err_msg=f)
+
+
 def test_fused_agg_whole_render_matches(monkeypatch):
     """End-to-end render_aggregation (accumulation + readback) equality."""
     monkeypatch.setenv("IVID_TPU_RASTER_MODE", "full")
