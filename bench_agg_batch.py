@@ -119,7 +119,11 @@ def main():
         mv = jnp.broadcast_to(jnp.asarray(mvs[v % len(mvs)]), (BATCH, 4, 4))
         state = pipe.add_view(state, v, rgbd01, mv)
     prev = None
-    for nslots in (1, 4, 8, 16, 24):
+    buckets = tuple(
+        int(x) for x in
+        os.environ.get("IVID_TPU_BENCH_BUCKETS", "1,4,8,16,24").split(",")
+    )
+    for nslots in buckets:
         slc = lambda x: x[:, :nslots]
         m = jax.tree.map(slc, state.meshes)
         c = slc(state.colors)
