@@ -111,7 +111,7 @@ def main():
         far=float(ds_args.get("far", 100.0)),
         dataset=types.SimpleNamespace(image_size=S),
     )
-    prepare = partial(InpaintTrainer.prepare_batch, fake)
+    prepare = partial(InpaintTrainer.synthesize_cond, fake)
     print("augments:", fake.augments)
 
     def step_c(params, opt_state, rng, batch):
@@ -140,6 +140,28 @@ def main():
         "classes": jnp.arange(BATCH, dtype=jnp.int32),
     }
     timed_steps("cond train step (in-step warp)", step_c, params_c, opt_c, batch_c)
+
+    # --- cond step with host-synthesized conditioning (warp_host mode) ---
+    # Under IVID_TPU_WARP_HOST the loader workers attach y/mask/pose on the
+    # host CPU backend and the device step is prepare-free: this times the
+    # step the trainer actually dispatches in that mode. The gap to the
+    # in-step number is the device-side cost the overlap hides.
+    full_c = jax.jit(prepare)(batch_c, jax.random.PRNGKey(7))
+
+    def step_h(params, opt_state, rng, batch):
+        (loss, metrics), grads = jax.value_and_grad(
+            fw_c.training_loss, has_aux=True
+        )(params, rng, batch)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    # params_c/opt_c were donated by the in-step timing; re-zero from shapes.
+    params_c2 = jax.tree.map(lambda x: jnp.zeros(x.shape, x.dtype), params_c)
+    opt_c2 = jax.jit(tx.init)(params_c2)
+    timed_steps(
+        "cond train step (host-warp, precomputed)", step_h, params_c2, opt_c2,
+        full_c,
+    )
 
     # warp-synthesis (prepare_batch) alone, amortized in-program
     KP = 6

@@ -9,6 +9,7 @@ from ivid_tpu.data.base import (
 from ivid_tpu.data.imagenet import ImageNet, ImageNetSR, ImageNetWarp
 from ivid_tpu.data.collect import collect_data
 from ivid_tpu.data.loader import DataLoader
+from ivid_tpu.data.warp_host import HostWarpDataset
 from ivid_tpu.data.single_category import (
     SingleCategory,
     SingleCategorySR,
@@ -27,4 +28,6 @@ DATASETS = {
     "SyntheticRGBDWarp": SyntheticRGBDWarp,
 }
 
-__all__ = ["DATASETS", "DataLoader", "collect_data"] + list(DATASETS)
+__all__ = ["DATASETS", "DataLoader", "HostWarpDataset", "collect_data"] + list(
+    DATASETS
+)

@@ -319,15 +319,18 @@ def rasterize_grid_dense_batched(
             covered=outs.covered.reshape(-1),
         )
 
-    # ``IVID_TPU_AGG_PREP=cols``: channelwise transposed prep — plane
-    # columns straight from grid slices, skipping the [B, T, 3, 4+A]
-    # corners intermediates whose (8,128) tiling made their slices/copies
-    # ~0.95 ms/slot (see _grid_cols_t). Default stays ``corners`` until the
-    # on-chip A/B runs (bench_agg_trace.py); the fused epilogue path
-    # (rasterize_grid_agg_batched) always uses the cols prep.
+    # ``IVID_TPU_AGG_PREP``: channelwise transposed prep (``cols``, DEFAULT)
+    # builds plane columns straight from grid slices, skipping the
+    # [B, T, 3, 4+A] corners intermediates whose (8,128) tiling made their
+    # slices/copies ~0.95 ms/slot (see _grid_cols_t). Round-4 on-chip A/B
+    # (bench_agg_batch.py, bucket 1, live meshes): cols 2.92-2.94 ms/slot vs
+    # corners 3.84-4.01 — a 24% win, so cols is production; ``corners``
+    # stays as the measured fallback. (The fused in-kernel epilogue lost the
+    # same A/B at 4.45 ms/slot and VMEM-OOMs at bucket 8 — IVID_TPU_AGG_FUSED
+    # stays dark.)
     import os
 
-    if os.environ.get("IVID_TPU_AGG_PREP", "corners") == "cols":
+    if os.environ.get("IVID_TPU_AGG_PREP", "cols") == "cols":
         A = attrs.shape[-1]
         npix = B * render_size * render_size
 

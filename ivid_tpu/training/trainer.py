@@ -37,10 +37,8 @@ from flax import serialization
 
 from ivid_tpu.data.loader import DataLoader
 from ivid_tpu.diffusion import samplers
-from ivid_tpu.ops import camera as cam
-from ivid_tpu.ops import geometry as geom
-from ivid_tpu.ops import image as im_ops
 from ivid_tpu.ops import warp as warp_ops
+from ivid_tpu.training import warp_cond
 from ivid_tpu.parallel import (
     batch_sharding,
     check_replication,
@@ -173,9 +171,14 @@ class BasicTrainer:
         ]
         self.rng = jax.random.PRNGKey(self.seed + 1)
 
+    def _loader_dataset(self):
+        """Hook: the dataset handed to the DataLoader (trainers may wrap it,
+        e.g. host-side warp synthesis in loader workers)."""
+        return self.dataset
+
     def _build_loader(self, start=(0, 0)):
         self._loader_obj = DataLoader(
-            self.dataset,
+            self._loader_dataset(),
             batch_size=self.batch_size,
             num_workers=int(os.environ.get("IVID_TPU_LOADER_WORKERS", "4")),
             worker_mode=os.environ.get("IVID_TPU_LOADER_MODE", "thread"),
@@ -508,17 +511,44 @@ class InpaintTrainer(FinetuneMixin, BasicTrainer):
     (reference: diffusion/trainers/inpaint.py + datasets/base.py:197-267)."""
 
     def __init__(self, framework, dataset, output_dir, *, finetune_ckpt=None,
-                 backbone_args=None, **kwargs):
+                 backbone_args=None, warp_host=None, **kwargs):
         self._backbone_args = backbone_args
         self.augments = list(getattr(dataset, "augments", []))
         self.pose_std = float(getattr(dataset, "std", 0.15))
         self.near = float(getattr(dataset, "near", 0.5))
         self.far = float(getattr(dataset, "far", 100.0))
+        #: synthesize warp conditioning in dataloader workers on the CPU
+        #: backend (the reference's architecture, datasets/base.py:215-238:
+        #: warp cost overlaps the train step instead of serializing with it
+        #: inside the jitted program). Needs enough host cores to keep up —
+        #: see data/warp_host.py. Env IVID_TPU_WARP_HOST overrides the config.
+        if os.environ.get("IVID_TPU_WARP_HOST"):
+            warp_host = os.environ["IVID_TPU_WARP_HOST"] not in ("0", "")
+        self.warp_host = bool(warp_host)
         super().__init__(framework, dataset, output_dir, **kwargs)
         if finetune_ckpt:
             self.finetune_from(finetune_ckpt)
 
+    def _loader_dataset(self):
+        if not self.warp_host:
+            return self.dataset
+        from ivid_tpu.data.warp_host import HostWarpDataset
+
+        return HostWarpDataset(
+            self.dataset, augments=self.augments, pose_std=self.pose_std,
+            near=self.near, far=self.far, seed=self.seed,
+        )
+
     def prepare_batch(self, batch, rng):
+        """Train-step conditioning hook: on-device synthesis by default, a
+        pass-through when the loader already attached host-synthesized
+        conditioning (``warp_host``)."""
+        if self.warp_host:
+            del rng  # loader workers drew the augment/pose randomness
+            return batch
+        return self.synthesize_cond(batch, rng)
+
+    def synthesize_cond(self, batch, rng):
         """On-device warp-data synthesis (reference: datasets/base.py:215-267):
         random orbit pose, forward-backward warp, noise/blur/erode augments.
 
@@ -535,24 +565,10 @@ class InpaintTrainer(FinetuneMixin, BasicTrainer):
         b = x01.shape[0]
         rngs = jax.random.split(rng, b)
 
-        def pre(rgbd01, r):
-            rs = jax.random.split(r, 8)
-            rgbd_in = rgbd01
-            if "prewarp_noise" in self.augments:
-                sigma = 0.005 * jax.random.uniform(rs[0], ())
-                rgbd_in = rgbd_in + sigma * jax.random.normal(rs[1], rgbd_in.shape)
-            theta = self.pose_std * jax.random.normal(rs[2], ())
-            phi = self.pose_std * jax.random.normal(rs[3], ())
-            radius = 1.0 + 0.1 * jax.random.normal(rs[4], ())
-            center = 0.05 * jax.random.normal(rs[5], (3,))
-            eye = jnp.stack([
-                radius * jnp.cos(phi) * jnp.sin(theta),
-                radius * jnp.sin(phi),
-                radius * jnp.cos(phi) * jnp.cos(theta),
-            ])
-            mv1 = cam.look_at(eye, center, jnp.array([0.0, 1.0, 0.0]))
-            return rgbd_in, mv1, jnp.stack([theta, phi])
-
+        pre = partial(
+            warp_cond.presample,
+            augments=tuple(self.augments), pose_std=self.pose_std,
+        )
         rgbd_in, mv1, pose = jax.vmap(pre)(x01, rngs)
 
         g = int(os.environ.get("IVID_TPU_WARP_GROUP", "8"))
@@ -569,41 +585,7 @@ class InpaintTrainer(FinetuneMixin, BasicTrainer):
         )
         res = jax.tree.map(lambda x: x.reshape((b,) + x.shape[2:]), res)
 
-        def post(rgbd01, r, color, depth, mask):
-            rs = jax.random.split(r, 8)
-            y = jnp.concatenate([color, depth], axis=-1)
-
-            if "postwarp_noise" in self.augments:
-                sigma = 0.03 * jax.random.uniform(rs[6], ())
-                y = y + sigma * jax.random.normal(rs[7], y.shape)
-
-            extra = jax.random.split(jax.random.fold_in(r, 99), 4)
-            if "blur" in self.augments:
-                blurred = im_ops.gaussian_blur_random_sigma(extra[0], rgbd01[..., :3])
-                use_blur = jax.random.uniform(extra[1], ()) < 0.8
-                y = y.at[..., :3].set(
-                    jnp.where(use_blur, blurred, y[..., :3])
-                )
-
-            out = {}
-            if "erode_rgb" in self.augments:
-                # radius ∈ {0..4} uniformly (reference: base.py:250-255).
-                radius = jax.random.randint(extra[2], (), 0, 5)
-                branches = [
-                    partial(geom.erode, radius=rr) for rr in range(5)
-                ]
-                mask_rgb = jax.lax.switch(radius, branches, mask)
-                y = y.at[..., :3].multiply(mask_rgb)
-                out["mask_rgb"] = mask_rgb
-
-            y = y * mask
-            # All four channels rescale [0,1] → [-1,1] (the reference's
-            # per-slice form, base.py:262-263, actually rescales CHW columns —
-            # see the compat note in checkpoint.finetune_load).
-            y = y * 2 - 1
-            out.update({"y": y, "mask": mask})
-            return out
-
+        post = partial(warp_cond.postprocess, augments=tuple(self.augments))
         warped = jax.vmap(post)(
             x01, rngs, res["color"], res["depth"], res["mask"]
         )
@@ -629,11 +611,15 @@ class InpaintTrainer(FinetuneMixin, BasicTrainer):
         num_samples = len(next(iter(batch.values())))
         device_batch = self._replicated_batch(batch)
         rng = jax.random.fold_in(self.rng, 20_000 + self.step)
-        if not hasattr(self, "_prepare_batch_jit"):
+        if not hasattr(self, "_synthesize_cond_jit"):
             # Jitted once: a fresh jax.jit wrapper per call would re-trace the
             # warp pipeline (minutes of remote lowering) on every sampling.
-            self._prepare_batch_jit = jax.jit(self.prepare_batch)
-        cond = self._prepare_batch_jit(device_batch, jax.random.fold_in(rng, 0))
+            # Always the DEVICE synthesis, even under warp_host: visualization
+            # must be deterministic in `step` and identical on every process
+            # (collective lockstep), which the loader workers' stateful host
+            # rng cannot guarantee.
+            self._synthesize_cond_jit = jax.jit(self.synthesize_cond)
+        cond = self._synthesize_cond_jit(device_batch, jax.random.fold_in(rng, 0))
         guidance = 3.0 if self.model.num_classes else 0.0
         out = samplers.ddim_sample(
             self.framework, self.params, rng,
