@@ -35,6 +35,8 @@ every training shape.
 from __future__ import annotations
 
 import functools
+import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -108,24 +110,58 @@ def supports_flash(seq: int, heads: int, head_dim: int) -> bool:
     )
 
 
-def _attn_kernel(qkv_ref, out_ref, *, block_q: int, scale2: float):
+def _defer_div() -> bool:
+    """Softmax-division placement knob (``IVID_TPU_ATTN_DEFER``).
+
+    Deferred mode normalizes the [BQ, D] attention output by the row sums
+    instead of dividing the full [BQ, T] probability panel — at SR's T=4096
+    the divide is a whole-panel VPU pass (~2-3 ms/site/step) while the
+    deferred multiply touches T/D = 64x fewer elements. Numerics: e<=1 rides
+    to the PV matmul in bf16 exactly like w<=1 did; the division happens once
+    in f32 on the accumulated output (equal-or-better rounding). Default ON
+    from the round-4 model-step A/B (the only admissible evidence per the
+    BASELINE.md methodology lesson): SR guided CFG step 299.20 -> 289.21 ms
+    (MFU 66.9 -> 69.2%), flagship uncond CFG step 115.40 -> 114.64 ms (MFU
+    93.8 -> 94.5%), both at equal-or-higher dispatch floors."""
+    return os.environ.get("IVID_TPU_ATTN_DEFER", "1") == "1"
+
+
+def _attn_kernel(
+    qkv_ref, out_ref, *, block_q: int, scale2: float, defer: bool
+):
     tq = pl.program_id(2)
+    # Fold the logit scale into q when it is a power of two (always true for
+    # the reference's D=64: 1/sqrt(D) = 2^-3): bf16 exponent shift is exact
+    # and f32 accumulation commutes with powers of two, so the logits are
+    # bit-identical to the post-matmul panel multiply this replaces — at
+    # 64/T of the cost.
+    fold = math.frexp(scale2)[0] == 0.5 if scale2 > 0 else False
     for h in range(2):
         off = h * _GROUP
         q = qkv_ref[0, pl.ds(tq * block_q, block_q), off : off + HEAD_DIM]
         k = qkv_ref[0, :, off + HEAD_DIM : off + 2 * HEAD_DIM]
         v = qkv_ref[0, :, off + 2 * HEAD_DIM : off + 3 * HEAD_DIM]
+        if fold:
+            q = q * scale2
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        s = s * scale2
+        if not fold:
+            s = s * scale2
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m)
-        w = e / jnp.sum(e, axis=-1, keepdims=True)
-        o = jax.lax.dot_general(
-            w.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        if defer:
+            o = jax.lax.dot_general(
+                e.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            o = o / jnp.sum(e, axis=-1, keepdims=True)
+        else:
+            w = e / jnp.sum(e, axis=-1, keepdims=True)
+            o = jax.lax.dot_general(
+                w.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
         out_ref[0, :, h * HEAD_DIM : (h + 1) * HEAD_DIM] = o.astype(out_ref.dtype)
 
 
@@ -138,7 +174,8 @@ def _packed_attention_fwd_kernel(
     pairs = heads // 2
     bq = _block_q(t)
     kernel = functools.partial(
-        _attn_kernel, block_q=bq, scale2=float(scale) * float(scale)
+        _attn_kernel, block_q=bq, scale2=float(scale) * float(scale),
+        defer=_defer_div(),
     )
     itemsize = jnp.dtype(qkv.dtype).itemsize
     return pl.pallas_call(

@@ -16,7 +16,10 @@ from ivid_tpu.ops import attention as attn
 @pytest.mark.parametrize(
     "b,t,heads", [(2, 512, 2), (1, 1024, 4), (2, 1024, 8)]
 )
-def test_packed_kernel_matches_reference(b, t, heads):
+def test_packed_kernel_matches_reference(b, t, heads, monkeypatch):
+    # Pin the legacy panel-division path (production default is deferred;
+    # legacy remains the IVID_TPU_ATTN_DEFER=0 fallback).
+    monkeypatch.setenv("IVID_TPU_ATTN_DEFER", "0")
     c = heads * attn.HEAD_DIM
     rng = np.random.default_rng(0)
     qkv = jnp.asarray(rng.standard_normal((b, t, 3 * c)).astype(np.float32))
@@ -39,6 +42,41 @@ def test_packed_kernel_bf16_close_to_f32_reference():
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref), atol=3e-2, rtol=3e-2
     )
+
+
+@pytest.mark.parametrize("b,t,heads", [(2, 512, 2), (1, 1024, 4)])
+def test_deferred_division_matches_reference(b, t, heads, monkeypatch):
+    # IVID_TPU_ATTN_DEFER=1 normalizes the [BQ,D] output instead of the
+    # [BQ,T] panel; same math, equal-or-better f32 rounding.
+    monkeypatch.setenv("IVID_TPU_ATTN_DEFER", "1")
+    c = heads * attn.HEAD_DIM
+    rng = np.random.default_rng(3)
+    qkv32 = rng.standard_normal((b, t, 3 * c)).astype(np.float32)
+    scale = float(1.0 / np.sqrt(np.sqrt(attn.HEAD_DIM)))
+    ref = attn.reference_attention(jnp.asarray(qkv32), heads, scale)
+    out = attn._packed_attention_fwd_kernel(
+        jnp.asarray(qkv32), heads, scale, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+    out16 = attn._packed_attention_fwd_kernel(
+        jnp.asarray(qkv32, jnp.bfloat16), heads, scale, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(out16, np.float32), np.asarray(ref), atol=3e-2, rtol=3e-2
+    )
+
+
+def test_scale_fold_gate_non_pow2():
+    # A non-power-of-two scale must NOT be folded into bf16 q (inexact);
+    # the kernel falls back to the panel multiply and stays correct.
+    b, t, heads = 1, 512, 2
+    c = heads * attn.HEAD_DIM
+    rng = np.random.default_rng(4)
+    qkv = jnp.asarray(rng.standard_normal((b, t, 3 * c)).astype(np.float32))
+    scale = 0.3  # scale2=0.09, frexp mantissa != 0.5
+    ref = attn.reference_attention(qkv, heads, scale)
+    out = attn._packed_attention_fwd_kernel(qkv, heads, scale, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
 
 
 def test_supports_packed_gate():
