@@ -190,6 +190,16 @@ class ScenePipeline:
         # DDIM program is shape-stable and compiles once.
         self._agg_fn = jax.jit(self._agg_body)
         self._ddim_fn = jax.jit(self._guided_ddim_body)
+        # Fused per-view program: aggregation + guided DDIM in ONE dispatch.
+        # The relayed backend charges a ~30-40 ms round-trip floor per
+        # dispatch; a 27-view sequence pays 26 of them twice over. Cost: the
+        # guided UNet scan is re-lowered per slot-bucket shape (6 buckets ×
+        # ~90 s one-time remote compile, persistent-cached) instead of once.
+        # ``IVID_TPU_FUSED_COND_VIEW=0`` restores separate dispatches.
+        self._fused_cond = (
+            os.environ.get("IVID_TPU_FUSED_COND_VIEW", "1") == "1"
+        )
+        self._cond_view_fn = jax.jit(self._cond_view_body)
 
     # ---- jitted bodies ----
 
@@ -303,7 +313,19 @@ class ScenePipeline:
         )
         return out["samples"]
 
+    def _cond_view_body(self, params, rng, meshes, colors, valid, modelview, classes):
+        agg = self._agg_body(meshes, colors, valid, modelview)
+        samples = self._guided_ddim_body(params, rng, agg, classes)
+        # Only the condition record sample_batch keeps travels out of the
+        # fused program; the full agg dict (masks, convex depth) stays
+        # device-internal.
+        return samples, {"color": agg["color"], "depth": agg["depth"]}
+
     def _cond_step(self, params, rng, meshes, colors, valid, modelview, classes):
+        if self._fused_cond:
+            return self._cond_view_fn(
+                params, rng, meshes, colors, valid, modelview, classes
+            )
         agg = self._agg_fn(meshes, colors, valid, modelview)
         samples = self._ddim_fn(params, rng, agg, classes)
         return samples, agg

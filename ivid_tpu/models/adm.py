@@ -159,6 +159,21 @@ class SplitConv(nn.Module):
         return out + bias.astype(self.dtype)
 
 
+def _head_bf16() -> bool:
+    """Head-conv input-stream dtype knob (``IVID_TPU_HEAD_BF16``).
+
+    The unfused output head materializes silu(GN32(h)) in f32 and the 3x3
+    head conv streams it back — input-bound (SR trace: 3.53 ms/step reading
+    the f32 [54,256,256,128] = 1.8 GB stream at ~10 TFLOP/s). Casting the
+    stream to bf16 (f32 MXU accumulation via preferred_element_type) halves
+    the head's HBM bill. Numerics: one bf16 rounding on values that came out
+    of a bf16 torso one GN away; GN/SiLU stay f32. Default OFF until the
+    model-step A/B (BASELINE.md methodology) proves it on chip."""
+    import os
+
+    return os.environ.get("IVID_TPU_HEAD_BF16", "0") == "1"
+
+
 class _HeadConv(nn.Module):
     """Output-head 3x3 conv with the output-channel dim padded to the f32
     sublane width (8) at apply time. The RGBD head has 4 output channels;
@@ -180,8 +195,12 @@ class _HeadConv(nn.Module):
         pad = (-self.features) % 8
         if pad:
             kern = jnp.pad(kern, ((0, 0), (0, 0), (0, 0), (0, pad)))
+        if _head_bf16():
+            x = x.astype(jnp.bfloat16)
+            kern = kern.astype(jnp.bfloat16)
         y = jax.lax.conv_general_dilated(
             x, kern, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
         )
         return y[..., : self.features] + bias
 

@@ -126,30 +126,52 @@ def _defer_div() -> bool:
     return os.environ.get("IVID_TPU_ATTN_DEFER", "1") == "1"
 
 
+_LOG2E = math.log2(math.e)
+
+
+def _exp2_softmax() -> bool:
+    """Base-2 softmax knob (``IVID_TPU_ATTN_EXP2``).
+
+    ``exp(x)`` lowers as ``exp2(x * log2(e))`` — a whole extra [BQ, T] f32
+    VPU multiply pass per logits panel. Folding ``scale^2 * log2(e)`` into
+    the bf16 q block instead (a [BQ, 64] multiply, T/64x fewer elements)
+    and calling ``exp2`` directly skips that pass. Numerics: the fold is no
+    longer a pure exponent shift, so q picks up one bf16 rounding (~2^-9
+    relative on the logits — same order as the bf16 q/k rounding already
+    present; flash kernels apply fp32 sm_scale to bf16 q the same way).
+    Softmax normalization makes the result invariant to the base switch
+    itself. Default OFF until the model-step A/B (BASELINE.md methodology:
+    standalone op wins are inadmissible) proves it."""
+    return os.environ.get("IVID_TPU_ATTN_EXP2", "0") == "1"
+
+
 def _attn_kernel(
-    qkv_ref, out_ref, *, block_q: int, scale2: float, defer: bool
+    qkv_ref, out_ref, *, block_q: int, scale2: float, defer: bool, exp2: bool
 ):
     tq = pl.program_id(2)
     # Fold the logit scale into q when it is a power of two (always true for
     # the reference's D=64: 1/sqrt(D) = 2^-3): bf16 exponent shift is exact
     # and f32 accumulation commutes with powers of two, so the logits are
     # bit-identical to the post-matmul panel multiply this replaces — at
-    # 64/T of the cost.
+    # 64/T of the cost. In exp2 mode the fold also carries log2(e) (see
+    # _exp2_softmax) and is applied for any positive scale.
     fold = math.frexp(scale2)[0] == 0.5 if scale2 > 0 else False
     for h in range(2):
         off = h * _GROUP
         q = qkv_ref[0, pl.ds(tq * block_q, block_q), off : off + HEAD_DIM]
         k = qkv_ref[0, :, off + HEAD_DIM : off + 2 * HEAD_DIM]
         v = qkv_ref[0, :, off + 2 * HEAD_DIM : off + 3 * HEAD_DIM]
-        if fold:
+        if exp2 and scale2 > 0:
+            q = q * (scale2 * _LOG2E)
+        elif fold:
             q = q * scale2
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        if not fold:
-            s = s * scale2
+        if not (fold or (exp2 and scale2 > 0)):
+            s = s * (scale2 * _LOG2E) if exp2 else s * scale2
         m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
+        e = jnp.exp2(s - m) if exp2 else jnp.exp(s - m)
         if defer:
             o = jax.lax.dot_general(
                 e.astype(v.dtype), v, (((1,), (0,)), ((), ())),
@@ -175,7 +197,7 @@ def _packed_attention_fwd_kernel(
     bq = _block_q(t)
     kernel = functools.partial(
         _attn_kernel, block_q=bq, scale2=float(scale) * float(scale),
-        defer=_defer_div(),
+        defer=_defer_div(), exp2=_exp2_softmax(),
     )
     itemsize = jnp.dtype(qkv.dtype).itemsize
     return pl.pallas_call(

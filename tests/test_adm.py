@@ -254,6 +254,23 @@ def test_head_conv_matches_nn_conv():
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
 
+def test_head_conv_bf16_stream_close_to_f32(monkeypatch):
+    """IVID_TPU_HEAD_BF16 casts the head conv's input stream (and kernel) to
+    bf16 with f32 MXU accumulation — close to, not identical to, the f32
+    path (one bf16 rounding per operand element)."""
+    from ivid_tpu.models.adm import _HeadConv
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 16)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((3, 3, 16, 4)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((4,)).astype(np.float32))
+    ref = _HeadConv(4).apply({"params": {"kernel": k, "bias": b}}, x)
+    monkeypatch.setenv("IVID_TPU_HEAD_BF16", "1")
+    out = _HeadConv(4).apply({"params": {"kernel": k, "bias": b}}, x)
+    assert out.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=0.15, rtol=0.05)
+
+
 def test_upsample_fused_residual_add_matches_old_formulation():
     """ResBlock up path: up(x)+h as a 2x2 phase broadcast-add (and the skip
     1x1 conv moved before the upsample) must equal the materialized

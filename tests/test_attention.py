@@ -66,6 +66,31 @@ def test_deferred_division_matches_reference(b, t, heads, monkeypatch):
     )
 
 
+@pytest.mark.parametrize("scale", [float(64 ** -0.25), 0.3])
+def test_exp2_softmax_matches_reference(scale, monkeypatch):
+    # IVID_TPU_ATTN_EXP2 folds scale^2*log2(e) into q and calls exp2 — the
+    # softmax is invariant to the base switch; the fold adds one rounding on
+    # q (exact here: f32 inputs in interpret mode round nowhere). Covers
+    # both the pow2 reference scale and a non-pow2 scale (different fold
+    # branches).
+    monkeypatch.setenv("IVID_TPU_ATTN_EXP2", "1")
+    b, t, heads = 1, 1024, 4
+    c = heads * attn.HEAD_DIM
+    rng = np.random.default_rng(5)
+    qkv32 = rng.standard_normal((b, t, 3 * c)).astype(np.float32)
+    ref = attn.reference_attention(jnp.asarray(qkv32), heads, scale)
+    out = attn._packed_attention_fwd_kernel(
+        jnp.asarray(qkv32), heads, scale, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+    out16 = attn._packed_attention_fwd_kernel(
+        jnp.asarray(qkv32, jnp.bfloat16), heads, scale, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(out16, np.float32), np.asarray(ref), atol=3e-2, rtol=3e-2
+    )
+
+
 def test_scale_fold_gate_non_pow2():
     # A non-power-of-two scale must NOT be folded into bf16 q (inexact);
     # the kernel falls back to the panel multiply and stays correct.

@@ -91,6 +91,27 @@ def test_pipeline_multiview(tmp_path):
     assert fv.shape == (32, 32, 4)
 
 
+def test_fused_cond_view_matches_separate_dispatches(monkeypatch):
+    # The fused single-dispatch cond-view program (agg + guided DDIM,
+    # IVID_TPU_FUSED_COND_VIEW) must produce the same samples/conds as the
+    # separate agg/DDIM dispatches it replaces.
+    views = np.stack([np.asarray(v) for v in build_viewset("3x9", 1)[:2]])
+
+    def run(flag):
+        monkeypatch.setenv("IVID_TPU_FUSED_COND_VIEW", flag)
+        pipe, pu, pc = _make_pipeline()
+        assert pipe._fused_cond == (flag == "1")
+        _, samples, conds = pipe.sample_batch(
+            pu, pc, jax.random.PRNGKey(7), views, batch=1
+        )
+        return np.asarray(samples), np.asarray(conds["color"])
+
+    s1, c1 = run("1")
+    s0, c0 = run("0")
+    np.testing.assert_allclose(s1, s0, atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(c1, c0, atol=1e-5, rtol=1e-5)
+
+
 def test_pipeline_per_sample_views():
     pipe, pu, pc = _make_pipeline(steps_uncond=3, steps_cond=2)
     views = build_viewset("random", 2, np.random.default_rng(0))
