@@ -160,18 +160,24 @@ class SplitConv(nn.Module):
 
 
 def _head_bf16() -> bool:
-    """Head-conv input-stream dtype knob (``IVID_TPU_HEAD_BF16``).
+    """Head dtype knob (``IVID_TPU_HEAD_BF16``): keep the output head's
+    activation stream in the torso dtype instead of upcasting to f32.
 
-    The unfused output head materializes silu(GN32(h)) in f32 and the 3x3
-    head conv streams it back — input-bound (SR trace: 3.53 ms/step reading
-    the f32 [54,256,256,128] = 1.8 GB stream at ~10 TFLOP/s). Casting the
-    stream to bf16 (f32 MXU accumulation via preferred_element_type) halves
-    the head's HBM bill. Numerics: one bf16 rounding on values that came out
-    of a bf16 torso one GN away; GN/SiLU stay f32. Default OFF until the
-    model-step A/B (BASELINE.md methodology) proves it on chip."""
+    The unfused head materializes silu(GN32(h)) in f32 and the 3x3 head conv
+    streams it back — input-bound (SR trace: 3.53 ms/step reading the f32
+    [54,256,256,128] = 1.8 GB stream at ~10 TFLOP/s). Merely casting the
+    conv INPUT measured a no-op (SR 289.29 vs 289.33 ms): XLA fuses the
+    convert into the conv (consumer), so the f32 buffer still streams. The
+    buffer itself must be bf16: skip the pre-GN upcast so GroupNorm32
+    (f32 statistics internally, per its contract) returns bf16, silu runs
+    bf16, and the conv accumulates f32 via preferred_element_type. Numerics:
+    one extra bf16 rounding on GN/silu outputs that came from a bf16 torso.
+    Default ON from the round-4 model-step A/B — a small but consistent win
+    on both production models (SR 281.90 -> 281.23 ms, flagship 114.78 ->
+    114.71 ms; same-session floors), never a loss."""
     import os
 
-    return os.environ.get("IVID_TPU_HEAD_BF16", "0") == "1"
+    return os.environ.get("IVID_TPU_HEAD_BF16", "1") == "1"
 
 
 class _HeadConv(nn.Module):
@@ -195,9 +201,8 @@ class _HeadConv(nn.Module):
         pad = (-self.features) % 8
         if pad:
             kern = jnp.pad(kern, ((0, 0), (0, 0), (0, 0), (0, pad)))
-        if _head_bf16():
-            x = x.astype(jnp.bfloat16)
-            kern = kern.astype(jnp.bfloat16)
+        if x.dtype != jnp.float32:
+            kern = kern.astype(x.dtype)
         y = jax.lax.conv_general_dilated(
             x, kern, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.float32,
@@ -812,9 +817,12 @@ class AdmUnet2d(nn.Module):
                 mm_dtype=jnp.bfloat16 if mm == "bf16" else jnp.float32,
                 interpret=jax.default_backend() != "tpu",
             )
-        h = h.astype(jnp.float32)
+        if not _head_bf16():
+            h = h.astype(jnp.float32)
         h = nn.silu(GroupNorm32(self.num_groups, name="out_norm")(h))
-        return _HeadConv(self.out_channels, name="out_conv")(h)
+        return _HeadConv(self.out_channels, name="out_conv")(h).astype(
+            jnp.float32
+        )
 
 
 def build_adm_unet(args: dict, dtype=jnp.bfloat16) -> AdmUnet2d:

@@ -140,9 +140,11 @@ def _exp2_softmax() -> bool:
     relative on the logits — same order as the bf16 q/k rounding already
     present; flash kernels apply fp32 sm_scale to bf16 q the same way).
     Softmax normalization makes the result invariant to the base switch
-    itself. Default OFF until the model-step A/B (BASELINE.md methodology:
-    standalone op wins are inadmissible) proves it."""
-    return os.environ.get("IVID_TPU_ATTN_EXP2", "0") == "1"
+    itself. Default ON from the round-4 model-step A/B: SR guided CFG step
+    289.33 -> 281.76 ms (MFU 69.1 -> 71.0%, T=4096 panels), flagship uncond
+    CFG step within noise (114.82 vs 114.64-115.04 ms; its seq-1024
+    attention is only ~4 ms/step)."""
+    return os.environ.get("IVID_TPU_ATTN_EXP2", "1") == "1"
 
 
 def _attn_kernel(

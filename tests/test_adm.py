@@ -254,21 +254,27 @@ def test_head_conv_matches_nn_conv():
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
 
-def test_head_conv_bf16_stream_close_to_f32(monkeypatch):
-    """IVID_TPU_HEAD_BF16 casts the head conv's input stream (and kernel) to
-    bf16 with f32 MXU accumulation — close to, not identical to, the f32
-    path (one bf16 rounding per operand element)."""
-    from ivid_tpu.models.adm import _HeadConv
-
+def test_head_bf16_stream_close_to_f32(monkeypatch):
+    """IVID_TPU_HEAD_BF16 keeps the output head's activation stream in the
+    torso dtype (GN statistics stay f32 per GroupNorm32) — close to, not
+    identical to, the f32-head path (one bf16 rounding on the GN/silu
+    output and the head-conv operands)."""
+    model = build_adm_unet(dict(SMALL, use_fp16=True))
     rng = np.random.default_rng(1)
-    x = jnp.asarray(rng.standard_normal((2, 8, 8, 16)).astype(np.float32))
-    k = jnp.asarray(rng.standard_normal((3, 3, 16, 4)).astype(np.float32))
-    b = jnp.asarray(rng.standard_normal((4,)).astype(np.float32))
-    ref = _HeadConv(4).apply({"params": {"kernel": k, "bias": b}}, x)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 4)).astype(np.float32))
+    t = jnp.array([3, 70], jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), x, t)["params"]
+    # Non-zero head params (zero-init out conv would make the test vacuous).
+    params = jax.tree.map(
+        lambda p: p + 0.01 * np.float32(1.0), params
+    )
+    ref = model.apply({"params": params}, x, t)
     monkeypatch.setenv("IVID_TPU_HEAD_BF16", "1")
-    out = _HeadConv(4).apply({"params": {"kernel": k, "bias": b}}, x)
+    out = model.apply({"params": params}, x, t)
     assert out.dtype == jnp.float32
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=0.15, rtol=0.05)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=0.05, rtol=0.05
+    )
 
 
 def test_upsample_fused_residual_add_matches_old_formulation():
