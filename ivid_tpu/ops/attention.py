@@ -147,8 +147,23 @@ def _exp2_softmax() -> bool:
     return os.environ.get("IVID_TPU_ATTN_EXP2", "1") == "1"
 
 
+def _mxu_sum() -> bool:
+    """Softmax-denominator placement knob (``IVID_TPU_ATTN_MXU_SUM``).
+
+    In deferred mode the row sums still cost a full [BQ, T] f32 VPU reduce.
+    The PV matmul's N=64 output only fills half the MXU's 128 lanes — so a
+    ones column appended to v makes the matmul emit the row sums in lane 64
+    for free, and the reduce pass disappears. Numerics: the sums accumulate
+    the SAME bf16-rounded e terms the PV numerator uses (f32 accumulation),
+    so out = exact softmax of the bf16-rounded weights — consistent
+    numerator/denominator, vs the current slightly-mixed f32-sum/bf16-PV.
+    Default OFF until the model-step A/B proves it."""
+    return os.environ.get("IVID_TPU_ATTN_MXU_SUM", "0") == "1"
+
+
 def _attn_kernel(
-    qkv_ref, out_ref, *, block_q: int, scale2: float, defer: bool, exp2: bool
+    qkv_ref, out_ref, *, block_q: int, scale2: float, defer: bool, exp2: bool,
+    mxu_sum: bool,
 ):
     tq = pl.program_id(2)
     # Fold the logit scale into q when it is a power of two (always true for
@@ -174,7 +189,16 @@ def _attn_kernel(
             s = s * (scale2 * _LOG2E) if exp2 else s * scale2
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp2(s - m) if exp2 else jnp.exp(s - m)
-        if defer:
+        if defer and mxu_sum:
+            vx = jnp.concatenate(
+                [v, jnp.ones((v.shape[0], 1), v.dtype)], axis=1
+            )
+            o_ext = jax.lax.dot_general(
+                e.astype(v.dtype), vx, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            o = o_ext[:, :HEAD_DIM] / o_ext[:, HEAD_DIM : HEAD_DIM + 1]
+        elif defer:
             o = jax.lax.dot_general(
                 e.astype(v.dtype), v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -199,7 +223,7 @@ def _packed_attention_fwd_kernel(
     bq = _block_q(t)
     kernel = functools.partial(
         _attn_kernel, block_q=bq, scale2=float(scale) * float(scale),
-        defer=_defer_div(), exp2=_exp2_softmax(),
+        defer=_defer_div(), exp2=_exp2_softmax(), mxu_sum=_mxu_sum(),
     )
     itemsize = jnp.dtype(qkv.dtype).itemsize
     return pl.pallas_call(

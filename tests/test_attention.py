@@ -91,6 +91,30 @@ def test_exp2_softmax_matches_reference(scale, monkeypatch):
     )
 
 
+def test_mxu_sum_matches_reference(monkeypatch):
+    # IVID_TPU_ATTN_MXU_SUM: the softmax denominator comes out of the PV
+    # matmul's spare lane (ones column appended to v) instead of a VPU
+    # reduce — out = exact softmax of the (possibly bf16-rounded) weights.
+    monkeypatch.setenv("IVID_TPU_ATTN_DEFER", "1")
+    monkeypatch.setenv("IVID_TPU_ATTN_MXU_SUM", "1")
+    b, t, heads = 1, 1024, 4
+    c = heads * attn.HEAD_DIM
+    rng = np.random.default_rng(6)
+    qkv32 = rng.standard_normal((b, t, 3 * c)).astype(np.float32)
+    scale = float(1.0 / np.sqrt(np.sqrt(attn.HEAD_DIM)))
+    ref = attn.reference_attention(jnp.asarray(qkv32), heads, scale)
+    out = attn._packed_attention_fwd_kernel(
+        jnp.asarray(qkv32), heads, scale, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+    out16 = attn._packed_attention_fwd_kernel(
+        jnp.asarray(qkv32, jnp.bfloat16), heads, scale, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(out16, np.float32), np.asarray(ref), atol=3e-2, rtol=3e-2
+    )
+
+
 def test_scale_fold_gate_non_pow2():
     # A non-power-of-two scale must NOT be folded into bf16 q (inexact);
     # the kernel falls back to the panel multiply and stays correct.

@@ -73,6 +73,15 @@ def test_packed_attention_exp2_lowers_for_tpu(monkeypatch):
         _lower_tpu(lambda q: packed_attention(q, heads, hd ** -0.5), qkv)
 
 
+def test_packed_attention_mxu_sum_lowers_for_tpu(monkeypatch):
+    from ivid_tpu.ops.attention import packed_attention
+
+    monkeypatch.setenv("IVID_TPU_ATTN_MXU_SUM", "1")
+    for (seq, heads, hd) in [(1024, 8, 64), (4096, 4, 64)]:
+        qkv = jnp.zeros((16, seq, 3 * heads * hd), jnp.bfloat16)
+        _lower_tpu(lambda q: packed_attention(q, heads, hd ** -0.5), qkv)
+
+
 def test_tiled_resolve_lowers_for_tpu():
     from ivid_tpu.ops import raster
     from ivid_tpu.ops.raster_tiled import resolve_zbuffer_tiled
