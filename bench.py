@@ -226,7 +226,11 @@ def main():
     results["cond_view_fused_wins"] = float(fused_wins)
 
     # Eval protocol: 1000 uncond steps + 1 cond view (agg + 50-step DDIM).
-    t_cond_view = min(t_cond_fused, t_agg_batch + t_ddim_cond)
+    # Charge the A/B winner with floor-consistent accounting: the fused view
+    # costs ONE dispatch floor, the separate path costs TWO (same asymmetry
+    # fused_wins and t_3x9 use); the uncond chain's own floor is charged via
+    # t_step which is already floor-subtracted per batch below.
+    t_cond_view = min(t_cond_fused + floor, t_agg_batch + t_ddim_cond + 2 * floor)
     results["cond_view_s"] = t_cond_view
     t_per_batch = 1000 * t_step + t_cond_view
     samples_per_sec = batch / t_per_batch

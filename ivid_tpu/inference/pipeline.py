@@ -245,14 +245,17 @@ class ScenePipeline:
     def _agg_body(self, meshes, colors, valid, modelview):
         """Batched condition aggregation (per slot-bucket program).
 
-        ``batch`` (single-chip default) rasters GROUPS of samples' slots in
-        one dense launch each (`aggregate_conditions_batch`), chunked by
-        ``IVID_TPU_AGG_GROUP`` to bound raster working memory (plane tables +
-        framebuffers ≈ 8 MB/slot at 384²; a fully vmapped batch of 10 through
-        the FRAGMENT path OOM-crashed the 16 GB chip in round 1). ``map`` is
-        the per-sample sequential fallback; ``vmap`` is for multi-chip runs
-        where the batch is sharded over the data mesh axis and per-device
-        memory stays at a few samples."""
+        ``map`` (single-chip default) runs samples' slot rasters sequentially
+        via ``lax.map`` — the round-4 on-chip A/B measured it beating the
+        grouped launch at every group size (47.4 vs 50.6 ms/batch-slot on
+        live meshes, BENCH_r04.json). ``batch`` is the grouped alternative:
+        GROUPS of samples' slots per dense launch (`aggregate_conditions_batch`),
+        chunked by ``IVID_TPU_AGG_GROUP`` to bound raster working memory
+        (plane tables + framebuffers ≈ 8 MB/slot at 384²; a fully vmapped
+        batch of 10 through the FRAGMENT path OOM-crashed the 16 GB chip in
+        round 1). ``vmap`` is for multi-chip runs where the batch is sharded
+        over the data mesh axis and per-device memory stays at a few
+        samples."""
 
         def agg_one(m, c, mv):
             return warp_ops.aggregate_conditions(

@@ -221,6 +221,14 @@ def _packed_attention_fwd_kernel(
     assert c == heads * HEAD_DIM and heads % 2 == 0
     pairs = heads // 2
     bq = _block_q(t)
+    if _mxu_sum() and not _defer_div():
+        # Mirror the IVID_TPU_ATTN_BQ override policy: a silently-ignored
+        # knob would make a sweep datapoint measure a DIFFERENT
+        # implementation than requested.
+        raise ValueError(
+            "IVID_TPU_ATTN_MXU_SUM=1 requires IVID_TPU_ATTN_DEFER=1 "
+            "(the ones-column row sum only replaces the deferred-mode reduce)"
+        )
     kernel = functools.partial(
         _attn_kernel, block_q=bq, scale2=float(scale) * float(scale),
         defer=_defer_div(), exp2=_exp2_softmax(), mxu_sum=_mxu_sum(),

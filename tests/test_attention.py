@@ -115,9 +115,15 @@ def test_mxu_sum_matches_reference(monkeypatch):
     )
 
 
-def test_scale_fold_gate_non_pow2():
+@pytest.mark.parametrize("exp2", ["0", "1"])
+def test_scale_fold_gate_non_pow2(exp2, monkeypatch):
     # A non-power-of-two scale must NOT be folded into bf16 q (inexact);
-    # the kernel falls back to the panel multiply and stays correct.
+    # the kernel falls back to the panel multiply and stays correct. With
+    # the default IVID_TPU_ATTN_EXP2=1 the exp2 fold branch preempts the
+    # pow2 gate entirely, so exp2 must be pinned OFF to keep the fallback
+    # panel-multiply branch covered (advisor round-4 finding); the "1" case
+    # keeps the exp2 non-pow2 fold covered at this shape too.
+    monkeypatch.setenv("IVID_TPU_ATTN_EXP2", exp2)
     b, t, heads = 1, 512, 2
     c = heads * attn.HEAD_DIM
     rng = np.random.default_rng(4)
@@ -126,6 +132,17 @@ def test_scale_fold_gate_non_pow2():
     ref = attn.reference_attention(qkv, heads, scale)
     out = attn._packed_attention_fwd_kernel(qkv, heads, scale, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_mxu_sum_without_defer_raises(monkeypatch):
+    # Knob-consistency policy (mirrors the IVID_TPU_ATTN_BQ override): a
+    # silently-ignored IVID_TPU_ATTN_MXU_SUM would let a sweep datapoint
+    # measure a different implementation than requested.
+    monkeypatch.setenv("IVID_TPU_ATTN_DEFER", "0")
+    monkeypatch.setenv("IVID_TPU_ATTN_MXU_SUM", "1")
+    qkv = jnp.zeros((1, 512, 3 * 2 * attn.HEAD_DIM))
+    with pytest.raises(ValueError, match="MXU_SUM"):
+        attn._packed_attention_fwd_kernel(qkv, 2, 0.5, interpret=True)
 
 
 def test_supports_packed_gate():
