@@ -278,39 +278,26 @@ class ResBlock(nn.Module):
             # concat path, so checkpoints are interchangeable.
             return self._split_forward(x, skip, emb, deterministic=deterministic)
 
-        from ivid_tpu.ops import fused_gn_conv as _fgc
+        # NOTE: a Pallas GN(+FiLM)+SiLU+conv3x3 fusion lived here through
+        # round 4; the model-step A/B REFUTED it (flagship 115.4 → 140.0 ms,
+        # MFU 93.9 → 72.6%) and it was deleted per the round-4 verdict. The
+        # numbers and the methodology lesson live in BASELINE.md ("standalone
+        # -jit op baselines overstate unfused cost — XLA fuses GN/SiLU into
+        # neighboring convs in the full graph").
+        in_norm = GroupNorm32(self.num_groups, name="in_norm")
+        in_conv = _conv(self.out_channels, 3, self.dtype, name="in_conv")
 
-        fuse_kw = dict(interpret=jax.default_backend() != "tpu")
-        fuse_in = (
-            _use_fused_gnconv()
-            and not (self.up or self.down)
-            and _fgc.supports_fused_gn_conv(
-                x.shape, self.out_channels, self.num_groups
-            )
-        )
-        if fuse_in:
-            # Fused GN+SiLU+conv (param tree identical to the unfused path).
-            gsc, gbi = _GN32Params(x.shape[-1], name="in_norm")()
-            kern, cbias = _Conv3Params(
-                self.out_channels, x.shape[-1], name="in_conv"
-            )()
-            af, tf = _fgc.gn_affine(x, gsc, gbi, self.num_groups)
-            h = _fgc.fused_affine_silu_conv(x, af, tf, kern, cbias, **fuse_kw)
-        else:
-            in_norm = GroupNorm32(self.num_groups, name="in_norm")
-            in_conv = _conv(self.out_channels, 3, self.dtype, name="in_conv")
-
-            h = nn.silu(in_norm(x))
-            if self.up:
-                h = upsample_nearest_2x(h)
-                # x stays at the small resolution: the residual upsample is
-                # fused into the final add (see below), and a channel-matching
-                # 1x1 conv commutes exactly with nearest upsampling — running
-                # it before costs 4x less.
-            elif self.down:
-                h = downsample_avg_2x(h)
-                x = downsample_avg_2x(x)
-            h = in_conv(h)
+        h = nn.silu(in_norm(x))
+        if self.up:
+            h = upsample_nearest_2x(h)
+            # x stays at the small resolution: the residual upsample is
+            # fused into the final add (see below), and a channel-matching
+            # 1x1 conv commutes exactly with nearest upsampling — running
+            # it before costs 4x less.
+        elif self.down:
+            h = downsample_avg_2x(h)
+            x = downsample_avg_2x(x)
+        h = in_conv(h)
 
         # Timestep/class modulation. The Linear runs in fp32 (the reference leaves
         # Linear modules out of fp16 conversion, diffusion/backbones/utils.py:7-24)
@@ -321,38 +308,17 @@ class ResBlock(nn.Module):
         )(nn.silu(emb)).astype(h.dtype)
         emb_out = emb_out[:, None, None, :]
 
-        fuse_out = (
-            _use_fused_gnconv()
-            and self.use_scale_shift_norm
-            and (self.dropout == 0 or deterministic)
-            and _fgc.supports_fused_gn_conv(
-                h.shape, self.out_channels, self.num_groups
-            )
-        )
-        if fuse_out:
-            gsc2, gbi2 = _GN32Params(self.out_channels, name="out_norm")()
-            kern2, cbias2 = _Conv3Params(
-                self.out_channels, self.out_channels, zero_init=True,
-                name="out_conv",
-            )()
-            scale, shift = jnp.split(emb_out[:, 0, 0, :], 2, axis=-1)
-            af, tf = _fgc.gn_affine(
-                h, gsc2, gbi2, self.num_groups,
-                film_scale=scale, film_shift=shift,
-            )
-            h = _fgc.fused_affine_silu_conv(h, af, tf, kern2, cbias2, **fuse_kw)
+        out_norm = GroupNorm32(self.num_groups, name="out_norm")
+        out_conv = _conv(self.out_channels, 3, self.dtype, zero_init=True, name="out_conv")
+        if self.use_scale_shift_norm:
+            scale, shift = jnp.split(emb_out, 2, axis=-1)
+            h = out_norm(h) * (1 + scale) + shift
         else:
-            out_norm = GroupNorm32(self.num_groups, name="out_norm")
-            out_conv = _conv(self.out_channels, 3, self.dtype, zero_init=True, name="out_conv")
-            if self.use_scale_shift_norm:
-                scale, shift = jnp.split(emb_out, 2, axis=-1)
-                h = out_norm(h) * (1 + scale) + shift
-            else:
-                h = out_norm(h + emb_out)
-            h = nn.silu(h)
-            if self.dropout > 0:
-                h = nn.Dropout(rate=self.dropout, deterministic=deterministic)(h)
-            h = out_conv(h)
+            h = out_norm(h + emb_out)
+        h = nn.silu(h)
+        if self.dropout > 0:
+            h = nn.Dropout(rate=self.dropout, deterministic=deterministic)(h)
+        h = out_conv(h)
 
         if x.shape[-1] != self.out_channels:
             x = _conv(self.out_channels, 1, self.dtype, name="skip_conv")(x)
@@ -368,36 +334,16 @@ class ResBlock(nn.Module):
         return x + h
 
     def _split_forward(self, x, skip, emb, *, deterministic):
-        from ivid_tpu.ops import fused_gn_conv as _fgc
-
         parts = (x, skip)
         c_in = x.shape[-1] + skip.shape[-1]
         assert c_in != self.out_channels, "split path expects a skip projection"
         assert not (self.up or self.down), "decoder skip blocks never resample"
 
-        fuse_kw = dict(interpret=jax.default_backend() != "tpu")
-        fuse_in = (
-            _use_fused_gnconv()
-            and _fgc.supports_fused_gn_conv_parts(
-                tuple(p.shape for p in parts), self.out_channels,
-                self.num_groups,
-            )
-        )
-        if fuse_in:
-            gsc, gbi = _GN32Params(c_in, name="in_norm")()
-            kern, cbias = _Conv3Params(
-                self.out_channels, c_in, name="in_conv"
-            )()
-            ats = _fgc.gn_affine_parts(parts, gsc, gbi, self.num_groups)
-            h = _fgc.fused_affine_silu_conv_parts(
-                parts, ats, kern, cbias, **fuse_kw
-            )
-        else:
-            hp = SplitGroupNorm32(self.num_groups, c_in, name="in_norm")(parts)
-            hp = tuple(nn.silu(p) for p in hp)
-            h = SplitConv(
-                self.out_channels, c_in, kernel=3, dtype=self.dtype, name="in_conv"
-            )(hp)
+        hp = SplitGroupNorm32(self.num_groups, c_in, name="in_norm")(parts)
+        hp = tuple(nn.silu(p) for p in hp)
+        h = SplitConv(
+            self.out_channels, c_in, kernel=3, dtype=self.dtype, name="in_conv"
+        )(hp)
 
         emb_features = (
             2 * self.out_channels if self.use_scale_shift_norm else self.out_channels
@@ -407,38 +353,17 @@ class ResBlock(nn.Module):
         )(nn.silu(emb)).astype(h.dtype)
         emb_out = emb_out[:, None, None, :]
 
-        fuse_out = (
-            _use_fused_gnconv()
-            and self.use_scale_shift_norm
-            and (self.dropout == 0 or deterministic)
-            and _fgc.supports_fused_gn_conv(
-                h.shape, self.out_channels, self.num_groups
-            )
-        )
-        if fuse_out:
-            gsc2, gbi2 = _GN32Params(self.out_channels, name="out_norm")()
-            kern2, cbias2 = _Conv3Params(
-                self.out_channels, self.out_channels, zero_init=True,
-                name="out_conv",
-            )()
-            scale, shift = jnp.split(emb_out[:, 0, 0, :], 2, axis=-1)
-            af, tf = _fgc.gn_affine(
-                h, gsc2, gbi2, self.num_groups,
-                film_scale=scale, film_shift=shift,
-            )
-            h = _fgc.fused_affine_silu_conv(h, af, tf, kern2, cbias2, **fuse_kw)
+        out_norm = GroupNorm32(self.num_groups, name="out_norm")
+        out_conv = _conv(self.out_channels, 3, self.dtype, zero_init=True, name="out_conv")
+        if self.use_scale_shift_norm:
+            scale, shift = jnp.split(emb_out, 2, axis=-1)
+            h = out_norm(h) * (1 + scale) + shift
         else:
-            out_norm = GroupNorm32(self.num_groups, name="out_norm")
-            out_conv = _conv(self.out_channels, 3, self.dtype, zero_init=True, name="out_conv")
-            if self.use_scale_shift_norm:
-                scale, shift = jnp.split(emb_out, 2, axis=-1)
-                h = out_norm(h) * (1 + scale) + shift
-            else:
-                h = out_norm(h + emb_out)
-            h = nn.silu(h)
-            if self.dropout > 0:
-                h = nn.Dropout(rate=self.dropout, deterministic=deterministic)(h)
-            h = out_conv(h)
+            h = out_norm(h + emb_out)
+        h = nn.silu(h)
+        if self.dropout > 0:
+            h = nn.Dropout(rate=self.dropout, deterministic=deterministic)(h)
+        h = out_conv(h)
 
         res = SplitConv(
             self.out_channels, c_in, kernel=1, dtype=self.dtype, name="skip_conv"
@@ -455,101 +380,6 @@ def _use_split_skip() -> bool:
     if v in ("0", "1"):
         return v == "1"
     return jax.default_backend() == "tpu"
-
-
-def _use_fused_head() -> bool:
-    """Output head: fused Pallas GN+SiLU+conv vs the unfused fp32
-    composition. DEFAULT OFF: the round-4 model-step A/B measured the fused
-    head SLOWER in both production models (flagship 117.0 vs 115.4 ms, SR
-    305.3 vs 299.4 ms) despite winning the isolated op A/B — standalone-jit
-    baselines overstate unfused cost because XLA fuses the head's GN/SiLU
-    into neighbors inside the full graph. ``IVID_TPU_FUSED_HEAD=1`` opts in
-    (off-TPU it runs in interpret mode — parity tests)."""
-    import os
-
-    return os.environ.get("IVID_TPU_FUSED_HEAD", "0") == "1"
-
-
-def _use_fused_gnconv() -> bool:
-    """ResBlock GN(+FiLM)+SiLU+conv3x3 fusion (ops/fused_gn_conv.py).
-    DEFAULT OFF — the round-4 A/B REFUTED it at model level: the flagship
-    step regressed 115.4 → 140.0 ms (MFU 93.9 → 72.6%) with the fusion on,
-    though the isolated op A/B showed large wins (strawman baseline: a
-    standalone unfused jit can't fuse GN into the conv stream the way the
-    full model graph does), and the split-skip two-part variant VMEM-OOMs at
-    the SR 54×256²×128 shape. Kept as a measured negative result;
-    ``IVID_TPU_FUSED_GNCONV=1`` enables (interpret mode off-TPU)."""
-    import os
-
-    return os.environ.get("IVID_TPU_FUSED_GNCONV", "0") == "1"
-
-
-class _ChannelAffine(nn.Module):
-    """Declares ``scale``/``bias`` matching ``nn.GroupNorm``'s param tree."""
-
-    features: int
-
-    @nn.compact
-    def __call__(self):
-        scale = self.param(
-            "scale", nn.initializers.ones, (self.features,), jnp.float32
-        )
-        bias = self.param(
-            "bias", nn.initializers.zeros, (self.features,), jnp.float32
-        )
-        return scale, bias
-
-
-class _GN32Params(nn.Module):
-    """Parameter-tree mirror of ``GroupNorm32`` (out_norm/GroupNorm_0/...)
-    for the fused head path, which consumes the params directly."""
-
-    features: int
-
-    @nn.compact
-    def __call__(self):
-        return _ChannelAffine(self.features, name="GroupNorm_0")()
-
-
-class _HeadConvParams(nn.Module):
-    """Parameter-tree mirror of ``_HeadConv`` (out_conv/{kernel,bias})."""
-
-    features: int
-    in_channels: int
-
-    @nn.compact
-    def __call__(self):
-        kern = self.param(
-            "kernel", nn.initializers.zeros,
-            (3, 3, self.in_channels, self.features), jnp.float32,
-        )
-        bias = self.param(
-            "bias", nn.initializers.zeros, (self.features,), jnp.float32
-        )
-        return kern, bias
-
-
-class _Conv3Params(nn.Module):
-    """Parameter-tree mirror of a ``_conv(features, 3, ...)`` nn.Conv
-    ({kernel, bias}, identical names/shapes/initializers) for fused paths
-    that consume the raw tables."""
-
-    features: int
-    in_channels: int
-    zero_init: bool = False
-
-    @nn.compact
-    def __call__(self):
-        kern = self.param(
-            "kernel",
-            nn.initializers.zeros if self.zero_init
-            else nn.initializers.lecun_normal(),
-            (3, 3, self.in_channels, self.features), jnp.float32,
-        )
-        bias = self.param(
-            "bias", nn.initializers.zeros, (self.features,), jnp.float32
-        )
-        return kern, bias
 
 
 def _attention_impl(seq: int, heads: int, head_dim: int) -> str:
@@ -793,30 +623,11 @@ class AdmUnet2d(nn.Module):
                     ds *= 2
         assert not hs
 
-        # Output head in fp32 (reference: adm.py:483-487,565-566). On TPU the
-        # GN+SiLU+conv composition fuses into one Pallas pass over the bf16
-        # torso output (ops/fused_head.py); param trees are identical.
-        from ivid_tpu.ops import fused_head as _fh
-
-        if _use_fused_head() and _fh.supports_fused_head(
-            h.shape, self.num_groups
-        ):
-            scale, gbias = _GN32Params(h.shape[-1], name="out_norm")()
-            kern, cbias = _HeadConvParams(
-                self.out_channels, h.shape[-1], name="out_conv"
-            )()
-            # Head-conv matmul dtype: f32 matches the reference's fp32 head
-            # exactly; IVID_TPU_FUSED_HEAD_MM=bf16 is the measured A/B knob
-            # (the normalized+silu values carry fp32 information the bf16
-            # MXU path would round).
-            import os
-
-            mm = os.environ.get("IVID_TPU_FUSED_HEAD_MM", "f32")
-            return _fh.fused_gn_silu_conv(
-                h, scale, gbias, kern, cbias, self.num_groups,
-                mm_dtype=jnp.bfloat16 if mm == "bf16" else jnp.float32,
-                interpret=jax.default_backend() != "tpu",
-            )
+        # Output head in fp32 (reference: adm.py:483-487,565-566). A fused
+        # Pallas GN+SiLU+conv head lived here through round 4; the model-step
+        # A/B measured it SLOWER in both production models (flagship 117.0 vs
+        # 115.4 ms, SR 305.3 vs 299.4 — BASELINE.md) and it was deleted per
+        # the round-4 verdict.
         if not _head_bf16():
             h = h.astype(jnp.float32)
         h = nn.silu(GroupNorm32(self.num_groups, name="out_norm")(h))

@@ -325,9 +325,9 @@ def rasterize_grid_dense_batched(
     # slices/copies ~0.95 ms/slot (see _grid_cols_t). Round-4 on-chip A/B
     # (bench_agg_batch.py, bucket 1, live meshes): cols 2.92-2.94 ms/slot vs
     # corners 3.84-4.01 — a 24% win, so cols is production; ``corners``
-    # stays as the measured fallback. (The fused in-kernel epilogue lost the
-    # same A/B at 4.45 ms/slot and VMEM-OOMs at bucket 8 — IVID_TPU_AGG_FUSED
-    # stays dark.)
+    # stays as the measured fallback. (A fused in-kernel epilogue lost the
+    # same A/B at 4.45 ms/slot and VMEM-OOMed at bucket 8; deleted per the
+    # round-4 verdict — numbers in BASELINE.md.)
     import os
 
     if os.environ.get("IVID_TPU_AGG_PREP", "cols") == "cols":
@@ -917,154 +917,6 @@ def _grid_cols_t(win, w, attrs, positions, grid_size, discard_attr):
     ymin = jnp.where(valid, jnp.minimum(jnp.minimum(y0, y1), y2), jnp.inf)
     ymax = jnp.where(valid, jnp.maximum(jnp.maximum(y0, y1), y2), -jnp.inf)
     return geom_cols, pay_cols, ymin, ymax, valid
-
-
-def _dense_agg_kernel(lohi_ref, span_ref, glob_ref, cam_ref, geom_ref,
-                      pay_ref, out_ref, zbuf_s, acc_s, *, r, rows_per_buf,
-                      chunks_per_buf, A, weight_mode):
-    """Per-row raster + AGGREGATION epilogue: instead of dumping the 1+PWP
-    plane accumulator (41 lanes padded to 128 in HBM — ~75 MB/slot at 384²),
-    finish the per-pixel work in VMEM and emit 8 final channels
-    ``[depth|2.0, uv·cov, cos-or-weight, edge, padding, eroded, front]`` as
-    an exact-layout [1, 8, r] block (4.7 MB/slot). The weight transcendental
-    ``exp(−20·acos·)`` stays host-side (one cheap fusion over the 8-channel
-    image) so Mosaic only needs sqrt/div. ``cam_ref``: SMEM f32 [3, B]
-    per-buffer sample-camera positions (fragment weight mode)."""
-    t = pl.program_id(0)
-    b = t // rows_per_buf
-    ty = t - b * rows_per_buf
-    glob_lo, glob_hi = glob_ref[0, b], glob_ref[1, b]
-    span_off = b * chunks_per_buf
-    _raster_row(lohi_ref, span_ref, glob_lo, glob_hi, geom_ref, pay_ref,
-                zbuf_s, acc_s, t, ty, span_off, r)
-
-    zbuf = zbuf_s[...]                                  # [r, 1]
-    acc = acc_s[...]                                    # [r, PWP]
-    qx = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0).astype(jnp.float32) + 0.5
-    qy = ty.astype(jnp.float32) + 0.5
-    cnt = acc[:, 3 * A + 4 : 3 * A + 5]
-    sel = acc / jnp.maximum(cnt, 1.0)
-    den = jnp.maximum(
-        qx * sel[:, 3 * A : 3 * A + 1]
-        + qy * sel[:, 3 * A + 1 : 3 * A + 2]
-        + sel[:, 3 * A + 2 : 3 * A + 3],
-        1e-12,
-    )
-
-    def val(i):
-        return (
-            qx * sel[:, i : i + 1]
-            + qy * sel[:, A + i : A + i + 1]
-            + sel[:, 2 * A + i : 2 * A + i + 1]
-        ) / den
-
-    cov = zbuf < 1.5
-    m = cov.astype(jnp.float32)
-    uvx, uvy = val(0), val(1)
-    edge_v, pad_v, ero_v = val(2), val(3), val(4)
-    if weight_mode == "fragment":
-        px, py, pz = val(5), val(6), val(7)
-        nx, ny, nz = val(8), val(9), val(10)
-        dx = cam_ref[0, b] - px
-        dy = cam_ref[1, b] - py
-        dz = cam_ref[2, b] - pz
-        dn = jnp.maximum(jnp.sqrt(dx * dx + dy * dy + dz * dz), 1e-12)
-        nn = jnp.maximum(jnp.sqrt(nx * nx + ny * ny + nz * nz), 1e-12)
-        # Same per-component normalize-then-dot order as the host form
-        # (_agg_alpha_from_attrs) — acos amplifies cos differences near 1.
-        c5 = jnp.clip(
-            (dx / dn) * (nx / nn) + (dy / dn) * (ny / nn)
-            + (dz / dn) * (nz / nn),
-            0.0, 1.0,
-        )
-    else:
-        c5 = val(5)
-    frontv = (acc[:, 3 * A + 3 : 3 * A + 4] * 2.0 > cnt).astype(jnp.float32)
-    depth2 = jnp.where(cov, zbuf, 2.0)
-    out8 = jnp.concatenate(
-        [depth2, uvx * m, uvy * m, c5, edge_v, pad_v, ero_v, frontv], axis=1
-    )  # [r, 8]
-    # Transpose via an exact identity matmul (one-nonzero rows: no rounding);
-    # Mosaic has no sub-tile [r, 8] -> [8, r] relayout.
-    eye = (
-        jax.lax.broadcasted_iota(jnp.int32, (8, 8), 0)
-        == jax.lax.broadcasted_iota(jnp.int32, (8, 8), 1)
-    ).astype(jnp.float32)
-    out_ref[0] = jax.lax.dot_general(
-        eye, out8, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-
-
-def rasterize_grid_agg_batched(
-    win: jnp.ndarray,
-    w: jnp.ndarray,
-    attrs: jnp.ndarray,
-    positions: jnp.ndarray,
-    grid_size: int,
-    render_size: int,
-    sample_cams: jnp.ndarray,
-    weight_mode: str = "fragment",
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """B aggregation view slots rastered AND shaded-to-channels in one
-    launch: channelwise transposed prep (`_grid_cols_t`) + the per-row
-    kernel with the aggregation epilogue (`_dense_agg_kernel`). Returns
-    raw [B·r, 8, r] channel rows in window order (row 0 = window bottom):
-    ``0`` window z (2.0 where empty), ``1``/``2`` uv·covered, ``3`` clipped
-    view-angle cosine (fragment mode) or interpolated weight (vertex mode),
-    ``4``/``5``/``6`` edge/padding/eroded varyings, ``7`` front-majority.
-    Buffer b owns rows [b·r, (b+1)·r). Pallas-only (gate with
-    :func:`_use_pallas`); renderer._aggregation_view_buffers_all finishes
-    alpha/rgb (reference semantics: shaders/aggregation.fsh:19-51)."""
-    B = win.shape[0]
-    r = render_size
-    A = attrs.shape[-1]
-    if weight_mode == "fragment":
-        assert A == 11, A
-    else:
-        assert A == 6, A
-
-    def prep_one(win_v, w_v, attrs_v, pos_v):
-        cols = _grid_cols_t(win_v, w_v, attrs_v, pos_v, grid_size,
-                            discard_attr=3)
-        return _prep_pack(*cols, r, A)
-
-    lohi, spans, glob, geom, pay = jax.vmap(prep_one)(win, w, attrs, positions)
-
-    nc = geom.shape[1] // 8
-    pwp = _pwp(A)
-    lohi = lohi.reshape(B * r, 2).T
-    glob = glob.reshape(B, 2).T
-    spans = spans.reshape(B * nc, 2).T
-    geom = geom.reshape(B * nc * 8, 6 * _TC)
-    pay = pay.reshape(B * nc * pwp, _TC)
-    cam = sample_cams.astype(jnp.float32).T  # [3, B] (SMEM lane-pad note)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(B * r,),
-        in_specs=[
-            pl.BlockSpec((nc * 8, 6 * _TC),
-                         lambda t, lh, sp, gl, cm: (t // r, 0)),
-            pl.BlockSpec((nc * pwp, _TC),
-                         lambda t, lh, sp, gl, cm: (t // r, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, 8, r), lambda t, lh, sp, gl, cm: (t, 0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((r, 1), jnp.float32),
-            pltpu.VMEM((r, pwp), jnp.float32),
-        ],
-    )
-    return pl.pallas_call(
-        lambda lh, sp, gl, cm, g_ref, p_ref, o_ref, zs, as_: _dense_agg_kernel(
-            lh, sp, gl, cm, g_ref, p_ref, o_ref, zs, as_, r=r,
-            rows_per_buf=r, chunks_per_buf=nc, A=A, weight_mode=weight_mode,
-        ),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B * r, 8, r), jnp.float32),
-        interpret=interpret,
-    )(lohi, spans, glob, cam, geom, pay)
 
 
 def _pallas_finish(out, r, npix, A):

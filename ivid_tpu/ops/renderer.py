@@ -98,33 +98,6 @@ def _texture_nearest(color: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
     return color[i, j]
 
 
-def _texture_nearest_xy(color: jnp.ndarray, u: jnp.ndarray,
-                        v: jnp.ndarray) -> jnp.ndarray:
-    """:func:`_texture_nearest` with split uv channels — avoids staging a
-    [..., 2] uv array whose 2-lane tail pads to 128 on TPU.
-
-    ``IVID_TPU_TEX_GATHER``: ``2d`` (default) indexes [s, s, 3] with two
-    index arrays; ``flat`` gathers rows of the flattened [s², 3] texture by
-    one fused index (A/B: the 2-D gather profiled 0.62 ms/slot at 384²,
-    ~3 GB/s effective — far off the gather unit's roof)."""
-    s = color.shape[0]
-    j = jnp.clip(jnp.floor(u * s).astype(jnp.int32), 0, s - 1)
-    i = jnp.clip(jnp.floor(v * s).astype(jnp.int32), 0, s - 1)
-    if os.environ.get("IVID_TPU_TEX_GATHER", "2d") == "flat":
-        return jnp.take(color.reshape(s * s, 3), i * s + j, axis=0)
-    return color[i, j]
-
-
-def _agg_fused_gate() -> bool:
-    """Fused aggregation raster (kernel-side epilogue + channelwise prep,
-    raster_dense.rasterize_grid_agg_batched): ``IVID_TPU_AGG_FUSED`` ∈
-    {0 (default — pending the on-chip A/B, bench_agg_trace.py), 1}."""
-    return (
-        os.environ.get("IVID_TPU_AGG_FUSED", "0") == "1"
-        and raster_dense._use_pallas(False)
-    )
-
-
 def _unpacked_flags(flag: jnp.ndarray) -> jnp.ndarray:
     """Unpack the per-vertex flag bits to (edge, padding, eroded) floats, which
     are then interpolated like GL varyings (reference: shaders/aggregation.vsh:26-28)."""
@@ -584,12 +557,10 @@ def _aggregation_view_buffers_all(
             lambda p, m: raster.project_vertices(p, m, r)
         )(meshes.positions, mvp)
     sample_cams = jax.vmap(cam.camera_position)(meshes.modelview)  # [N,3]
-    if _agg_fused_gate():
-        raw = raster_dense.rasterize_grid_agg_batched(
-            win, w, attrs, meshes.positions, grid_size, r, sample_cams,
-            weight_mode=mode,
-        )
-        return _agg_buffers_from_fused(raw, colors, n, r, mode)
+    # (A fused in-kernel aggregation epilogue lived here through round 4;
+    # the on-chip A/B measured it LOSING to the cols-prep plane kernel,
+    # 4.48 vs 2.92 ms/slot, and it was deleted per the round-4 verdict —
+    # numbers in BASELINE.md.)
     sk = raster_dense.rasterize_grid_dense_batched(
         win, w, attrs, meshes.positions, grid_size, r, discard_attr=3
     )
@@ -608,29 +579,6 @@ def _aggregation_view_buffers_all(
     depth_win = jnp.flip(depth_win.reshape(n, r, r), axis=1)
     cov = jnp.flip(sk.covered.reshape(n, r, r), axis=1)
     rgb = jax.vmap(_texture_nearest)(colors, uv) * cov[..., None]
-    return rgb, alpha, depth_win
-
-
-def _agg_buffers_from_fused(raw, colors, n, r, mode):
-    """Finish the fused kernel's 8 raw channels ([n·r, 8, r], see
-    rasterize_grid_agg_batched) into (rgb, alpha, depth) view buffers:
-    the weight transcendental, the fsh weighting clamps
-    (aggregation.fsh:36-49), the window->image row flip, and the nearest
-    texture fetch — one cheap elementwise pass + the gather."""
-    ch = lambda c: jnp.flip(raw[:, c, :].reshape(n, r, r), axis=1)
-    depth = ch(0)
-    cov = depth < 1.5
-    depth_win = jnp.where(cov, depth, 1.0)
-    if mode == "fragment":
-        wgt_raw = jnp.exp(
-            jnp.maximum(-20.0 * jnp.arccos(jnp.clip(ch(3), 0.0, 1.0)), -50.0)
-        )
-    else:
-        wgt_raw = ch(3)
-    alpha = _agg_alpha(ch(4), ch(5), ch(6), wgt_raw, ch(7) > 0.5)
-    alpha = jnp.where(cov, alpha, 0.0)
-    rgb = jax.vmap(_texture_nearest_xy)(colors, ch(1), ch(2))
-    rgb = rgb * cov[..., None]
     return rgb, alpha, depth_win
 
 

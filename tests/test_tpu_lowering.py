@@ -23,28 +23,6 @@ def _lower_tpu(fn, *args):
     return jax.jit(fn).trace(*args).lower(lowering_platforms=("tpu",))
 
 
-def test_fused_head_lowers_for_tpu():
-    from ivid_tpu.ops.fused_head import fused_gn_silu_conv
-
-    def f(x, s, b, k, cb):
-        return fused_gn_silu_conv(x, s, b, k, cb, 32, mm_dtype=jnp.bfloat16)
-
-    shapes = [
-        ((16, 128, 128, 256), 256),  # flagship head
-        ((27, 256, 256, 128), 128),  # SR head
-    ]
-    for xs, c in shapes:
-        args = (
-            jnp.zeros(xs, jnp.bfloat16), jnp.ones((c,)), jnp.zeros((c,)),
-            jnp.zeros((3, 3, c, 4)), jnp.zeros((4,)),
-        )
-        _lower_tpu(f, *args)
-        _lower_tpu(
-            jax.grad(lambda *a: jnp.sum(f(*a)), argnums=(0, 1, 2, 3, 4)),
-            *args,
-        )
-
-
 def test_packed_attention_lowers_for_tpu():
     from ivid_tpu.ops.attention import packed_attention
 
@@ -140,84 +118,9 @@ def test_dense_raster_lowers_for_tpu():
                jnp.zeros((V, A)), tris)
 
 
-def test_fused_agg_raster_lowers_for_tpu():
-    from ivid_tpu.ops import raster_dense
-
-    # Production aggregation shapes: 130² grid meshes, 384² buffers, up to
-    # 24 slots per launch (the 3x9 slot-bucket max). The epilogue's identity
-    # matmul transpose + f32 SMEM camera prefetch are the novel pieces.
-    g, R = 130, 384
-    V = g * g
-    for B, A, mode in ((8, 11, "fragment"), (24, 11, "fragment"),
-                       (8, 6, "vertex")):
-        def f(win, w, attrs, pos, cams, mode=mode):
-            return raster_dense.rasterize_grid_agg_batched(
-                win, w, attrs, pos, g, R, cams, weight_mode=mode,
-                interpret=False,
-            )
-
-        _lower_tpu(
-            f, jnp.zeros((B, V, 3)), jnp.ones((B, V)), jnp.zeros((B, V, A)),
-            jnp.zeros((B, V, 3)), jnp.zeros((B, 3)),
-        )
-
-
 def test_graft_entry_lowers_for_tpu(monkeypatch):
-    monkeypatch.setenv("IVID_TPU_FUSED_HEAD", "1")
     monkeypatch.setenv("IVID_TPU_SPLIT_SKIP", "1")
     import __graft_entry__ as ge
 
     fn, args = ge.entry()
     _lower_tpu(fn, *args)
-
-
-def test_fused_gn_conv_lowers_for_tpu():
-    from ivid_tpu.ops.fused_gn_conv import fused_affine_silu_conv, gn_affine
-
-    # Production torso shapes: SR 256^2 level (C=F=128, batch 54 fused-CFG)
-    # and flagship 128^2 level (C=F=256, batch 32).
-    for (b, h, w, c, f) in [(54, 256, 256, 128, 128), (32, 128, 128, 256, 256)]:
-        x = jnp.zeros((b, h, w, c), jnp.bfloat16)
-        gs, gb = jnp.ones((c,)), jnp.zeros((c,))
-        kern = jnp.zeros((3, 3, c, f))
-        bias = jnp.zeros((f,))
-
-        def fwd(x, gs, gb, kern, bias):
-            a, t = gn_affine(x, gs, gb, 32)
-            return fused_affine_silu_conv(x, a, t, kern, bias)
-
-        _lower_tpu(fwd, x, gs, gb, kern, bias)
-        _lower_tpu(
-            jax.grad(
-                lambda *a: jnp.sum(fwd(*a).astype(jnp.float32)),
-                argnums=(0, 1, 2, 3, 4),
-            ),
-            x, gs, gb, kern, bias,
-        )
-
-
-def test_fused_gn_conv_parts_lowers_for_tpu():
-    from ivid_tpu.ops.fused_gn_conv import (
-        fused_affine_silu_conv_parts, gn_affine_parts,
-    )
-
-    # Flagship decoder split block: x C=256 + skip C=256 -> F=256, batch 32.
-    b, h, w, c0, c1, f = 32, 128, 128, 256, 256, 256
-    x0 = jnp.zeros((b, h, w, c0), jnp.bfloat16)
-    x1 = jnp.zeros((b, h, w, c1), jnp.bfloat16)
-    gs, gb = jnp.ones((c0 + c1,)), jnp.zeros((c0 + c1,))
-    kern = jnp.zeros((3, 3, c0 + c1, f))
-    bias = jnp.zeros((f,))
-
-    def fwd(x0, x1, gs, gb, kern, bias):
-        ats = gn_affine_parts((x0, x1), gs, gb, 32)
-        return fused_affine_silu_conv_parts((x0, x1), ats, kern, bias)
-
-    _lower_tpu(fwd, x0, x1, gs, gb, kern, bias)
-    _lower_tpu(
-        jax.grad(
-            lambda *a: jnp.sum(fwd(*a).astype(jnp.float32)),
-            argnums=tuple(range(6)),
-        ),
-        x0, x1, gs, gb, kern, bias,
-    )
