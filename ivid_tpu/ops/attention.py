@@ -156,9 +156,12 @@ def _mxu_sum() -> bool:
     for free, and the reduce pass disappears. Numerics: the sums accumulate
     the SAME bf16-rounded e terms the PV numerator uses (f32 accumulation),
     so out = exact softmax of the bf16-rounded weights — consistent
-    numerator/denominator, vs the current slightly-mixed f32-sum/bf16-PV.
-    Default OFF until the model-step A/B proves it."""
-    return os.environ.get("IVID_TPU_ATTN_MXU_SUM", "0") == "1"
+    numerator/denominator, vs the slightly-mixed f32-sum/bf16-PV it replaces.
+    Default ON from the round-5 model-step A/B (the only admissible evidence
+    per the BASELINE.md methodology lesson): SR guided CFG step 281.34 ->
+    278.84 ms (MFU 71.1 -> 71.7%), flagship uncond CFG step 114.67 -> 114.34
+    ms (MFU 94.4 -> 94.7%) — a win at both T=4096 and T=1024."""
+    return os.environ.get("IVID_TPU_ATTN_MXU_SUM", "1") == "1"
 
 
 def _attn_kernel(

@@ -18,8 +18,10 @@ from ivid_tpu.ops import attention as attn
 )
 def test_packed_kernel_matches_reference(b, t, heads, monkeypatch):
     # Pin the legacy panel-division path (production default is deferred;
-    # legacy remains the IVID_TPU_ATTN_DEFER=0 fallback).
+    # legacy remains the IVID_TPU_ATTN_DEFER=0 fallback). MXU_SUM defaults
+    # ON and requires deferred mode, so pin it off with it.
     monkeypatch.setenv("IVID_TPU_ATTN_DEFER", "0")
+    monkeypatch.setenv("IVID_TPU_ATTN_MXU_SUM", "0")
     c = heads * attn.HEAD_DIM
     rng = np.random.default_rng(0)
     qkv = jnp.asarray(rng.standard_normal((b, t, 3 * c)).astype(np.float32))
@@ -47,8 +49,11 @@ def test_packed_kernel_bf16_close_to_f32_reference():
 @pytest.mark.parametrize("b,t,heads", [(2, 512, 2), (1, 1024, 4)])
 def test_deferred_division_matches_reference(b, t, heads, monkeypatch):
     # IVID_TPU_ATTN_DEFER=1 normalizes the [BQ,D] output instead of the
-    # [BQ,T] panel; same math, equal-or-better f32 rounding.
+    # [BQ,T] panel; same math, equal-or-better f32 rounding. Pin MXU_SUM=0
+    # (its default is ON) so the plain VPU-reduce deferred branch stays
+    # covered; test_mxu_sum_matches_reference covers the ones-column path.
     monkeypatch.setenv("IVID_TPU_ATTN_DEFER", "1")
+    monkeypatch.setenv("IVID_TPU_ATTN_MXU_SUM", "0")
     c = heads * attn.HEAD_DIM
     rng = np.random.default_rng(3)
     qkv32 = rng.standard_normal((b, t, 3 * c)).astype(np.float32)
