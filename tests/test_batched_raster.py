@@ -234,6 +234,7 @@ def test_forward_backward_warp_batch_matches_per_sample():
                 err_msg=f"{k}[{b}]")
 
 
+@pytest.mark.slow  # ~56s on the 1-core dev box; default tier budget is 20 min
 def test_aggregate_conditions_batch_matches_per_sample(monkeypatch):
     """The one-launch sample-batched aggregation (render_aggregation_batch /
     aggregate_conditions_batch) equals per-sample aggregate_conditions in

@@ -64,6 +64,7 @@ def test_randconv_extractor_deterministic():
     assert f1.shape == (8, 2048) and l1.shape == (8, 1008)
 
 
+@pytest.mark.slow  # ~72s on the 1-core dev box; default tier budget is 20 min
 def test_compute_metrics_discriminates():
     """Same-distribution FID must be far below shifted-distribution FID."""
     rng = np.random.default_rng(0)

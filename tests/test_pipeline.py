@@ -91,6 +91,7 @@ def test_pipeline_multiview(tmp_path):
     assert fv.shape == (32, 32, 4)
 
 
+@pytest.mark.slow  # ~58s on the 1-core dev box; default tier budget is 20 min
 def test_fused_cond_view_matches_separate_dispatches(monkeypatch):
     # The fused single-dispatch cond-view program (agg + guided DDIM,
     # IVID_TPU_FUSED_COND_VIEW) must produce the same samples/conds as the
@@ -172,6 +173,7 @@ def test_select_nearest_views():
     assert set(idx2[1].tolist()) == {1, 4 - 1}  # slots 1 (0.1) and 3 (0.0)
 
 
+@pytest.mark.slow  # ~90s on the 1-core dev box; default tier budget is 20 min
 def test_pipeline_max_agg_views():
     """Capping aggregation at K >= live views must be exactly the uncapped
     run; a tighter cap still produces a full valid scene."""

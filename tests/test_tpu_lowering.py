@@ -118,6 +118,7 @@ def test_dense_raster_lowers_for_tpu():
                jnp.zeros((V, A)), tris)
 
 
+@pytest.mark.slow  # ~84s on the 1-core dev box; default tier budget is 20 min
 def test_graft_entry_lowers_for_tpu(monkeypatch):
     monkeypatch.setenv("IVID_TPU_SPLIT_SKIP", "1")
     import __graft_entry__ as ge

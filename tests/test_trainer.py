@@ -64,6 +64,7 @@ def test_basic_trainer_steps_and_replication(tmp_path):
     assert max(jax.tree.leaves(diff)) > 0
 
 
+@pytest.mark.slow  # ~116s on the 1-core dev box; default tier budget is 20 min
 def test_gradient_accumulation_matches_single(tmp_path):
     """batch_split=2 must produce the same gradient as the full batch.
 
@@ -155,6 +156,7 @@ def test_finetune_channel_pad(tmp_path):
     np.testing.assert_array_equal(k[:, :, 4:], 0)
 
 
+@pytest.mark.slow  # ~58s on the 1-core dev box; default tier budget is 20 min
 def test_inpaint_trainer_warp_in_step(tmp_path):
     """The on-device warp produces a valid conditioning batch and a finite loss."""
     ds = SyntheticRGBDWarp(
@@ -279,6 +281,7 @@ def test_tensor_parallel_mesh(tmp_path):
     assert not all(shardings)
 
 
+@pytest.mark.slow  # ~92s on the 1-core dev box; default tier budget is 20 min
 def test_kill_and_resume_reproduces_loss_sequence(tmp_path):
     """A trainer killed after step 2 and resumed from its checkpoint must
     reproduce the loss sequence of an uninterrupted run exactly — requires
@@ -310,6 +313,7 @@ def test_kill_and_resume_reproduces_loss_sequence(tmp_path):
     np.testing.assert_allclose(first + rest, full, rtol=1e-5)
 
 
+@pytest.mark.slow  # ~130s on the 1-core dev box; default tier budget is 20 min
 def test_sample_visualization_with_small_dataset(tmp_path):
     """sample() must clamp the sampler batch to the rows _visualization_batch
     actually returned, or InpaintCFG.pack_inputs shape-errors whenever the

@@ -49,6 +49,7 @@ def _trainer(tmp_path, ds, **kwargs):
     )
 
 
+@pytest.mark.slow  # ~57s on the 1-core dev box; default tier budget is 20 min
 def test_host_matches_device_synthesis(tmp_path):
     """synthesize_single (host path) == trainer.synthesize_cond (device path,
     grouped raster) per sample, same rng split layout."""
@@ -122,6 +123,7 @@ def test_host_warp_dataset_pickles():
     assert it["y"].shape == (32, 32, 4)
 
 
+@pytest.mark.slow  # ~126s on the 1-core dev box; default tier budget is 20 min
 def test_trainer_warp_host_step(tmp_path):
     ds = _dataset(length=32)
     tr = _trainer(tmp_path, ds, warp_host=True)
