@@ -26,6 +26,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ivid_tpu.ops import pair_conv
+
 Dtype = jnp.dtype
 
 
@@ -130,7 +132,7 @@ class SplitConv(nn.Module):
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, parts):
+    def __call__(self, parts, add=None):
         k = self.kernel
         kern = self.param(
             "kernel",
@@ -139,6 +141,18 @@ class SplitConv(nn.Module):
             jnp.float32,
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        if k == 1 and len(parts) == 2 and pair_conv.use_pair_skip():
+            # Fused single-pass pair (+ the caller's residual add): one HBM
+            # read of each operand instead of the conv pair's partial-sum
+            # round trip (ops/pair_conv.py; round-5 trace: 17.05 ms/step on
+            # the SR up_0 pairs at 638 GB/s). Interpret mode keeps the knob
+            # testable off-TPU.
+            c1 = parts[0].shape[-1]
+            return pair_conv.pair_conv1x1(
+                parts[0], parts[1], add,
+                kern[0, 0, :c1], kern[0, 0, c1:], bias, self.dtype,
+                jax.default_backend() != "tpu",
+            )
         # Note (profiled, round 2): replacing the k=1 pair with a fused
         # dual-matmul Pallas kernel REGRESSED both models (115.4->126.8 ms
         # flagship, 300->331 ms SR): the flatten to [B*H*W, C] fights the
@@ -156,7 +170,10 @@ class SplitConv(nn.Module):
             out = y if out is None else out + y
             lo += c
         assert lo == self.in_channels
-        return out + bias.astype(self.dtype)
+        out = out + bias.astype(self.dtype)
+        if add is not None:
+            out = out + add
+        return out
 
 
 def _head_bf16() -> bool:
@@ -365,10 +382,11 @@ class ResBlock(nn.Module):
             h = nn.Dropout(rate=self.dropout, deterministic=deterministic)(h)
         h = out_conv(h)
 
-        res = SplitConv(
+        # ``add=h`` folds the residual add into the skip projection (one pass
+        # under the pair kernel; the XLA path applies it as a trailing add).
+        return SplitConv(
             self.out_channels, c_in, kernel=1, dtype=self.dtype, name="skip_conv"
-        )(parts)
-        return res + h
+        )(parts, add=h)
 
 
 def _use_split_skip() -> bool:
