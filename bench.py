@@ -225,6 +225,43 @@ def main():
     fused_wins = t_cond_fused + floor <= t_agg_batch + t_ddim_cond + 2 * floor
     results["cond_view_fused_wins"] = float(fused_wins)
 
+    # Chained cond views (IVID_TPU_COND_CHAIN; pipeline._cond_chain_body):
+    # K=4 views in ONE scan dispatch — the per-view relay floor AND the
+    # per-view mesh-lift dispatch disappear into the chain. Measured as the
+    # production views-1..4 chain (S=4 prefix gather). Note the chain time
+    # INCLUDES the per-view mesh lift that the per-view accounting never
+    # charged (add_view's separate dispatch), so the chained-vs-fused
+    # comparison below is conservative against chaining.
+    chain_k, chain_s = 4, 4
+    idxs4 = jnp.broadcast_to(
+        jnp.arange(chain_s), (chain_k, batch, chain_s)
+    )
+    valids4 = jnp.stack(
+        [jnp.arange(chain_s) < (j + 1) for j in range(chain_k)]
+    )
+    mvs4 = jnp.broadcast_to(mv0, (chain_k, batch, 4, 4))
+    slots4 = jnp.arange(1, chain_k + 1, dtype=jnp.int32)
+
+    def chain_call(seed):
+        return pipe._cond_chain_fn(
+            params_c, state.meshes, state.colors,
+            jax.random.split(jax.random.PRNGKey(seed), chain_k),
+            idxs4, valids4, mvs4, slots4, classes,
+        )[2]
+
+    sync(chain_call(11))
+    best = 1e9
+    for i in range(2):
+        t0 = time.perf_counter()
+        sync(chain_call(12 + i))
+        best = min(best, time.perf_counter() - t0)
+    t_chain4 = best - floor
+    results["cond_chain4_s"] = t_chain4
+    # Per-view chain cost with the chain's own slot rasters backed out, so
+    # the 3x9 composition can re-charge rasters by bucket size.
+    t_view_chain = t_chain4 / chain_k - chain_s * t_agg_batch
+    results["cond_view_chained_s"] = t_view_chain
+
     # Eval protocol: 1000 uncond steps + 1 cond view (agg + 50-step DDIM).
     # Charge the A/B winner with floor-consistent accounting: the fused view
     # costs ONE dispatch floor, the separate path costs TWO (same asymmetry
@@ -246,25 +283,45 @@ def main():
     # flip at 128²) and is reported alongside as such.
     from ivid_tpu.inference.pipeline import _slot_bucket
 
-    def n_slots(cap):
-        return sum(
-            cap if (cap is not None and j > cap) else _slot_bucket(j, 27)
-            for j in range(1, 27)
-        )
+    def view_s(j, cap):
+        return cap if (cap is not None and j > cap) else _slot_bucket(j, 27)
 
-    def t_3x9(slot_rasters):
-        # Per-view cost: the fused single-dispatch program (its 1-slot
-        # measurement + the view's extra slot rasters + ONE floor) vs the
-        # separate agg+DDIM dispatches (two floors) — charge the winner.
+    def n_slots(cap):
+        return sum(view_s(j, cap) for j in range(1, 27))
+
+    def n_chains(cap, k_max=4):
+        # Mirror of the pipeline's grouping: consecutive views sharing one
+        # slot count S chain up to k_max per dispatch.
+        chains, j = 0, 1
+        while j < 27:
+            s_run = view_s(j, cap)
+            k = 1
+            while k < k_max and j + k < 27 and view_s(j + k, cap) == s_run:
+                k += 1
+            chains += 1
+            j += k
+        return chains
+
+    def t_3x9(cap):
+        # Per-view cost: chained scan dispatches (per-view chain cost + the
+        # view's bucket rasters; ONE floor per chain) vs the fused
+        # single-dispatch program (ONE floor per view) vs separate agg+DDIM
+        # dispatches (two floors) — charge the winner.
+        slot_rasters = n_slots(cap)
         sep = 26 * (t_ddim_cond + 2 * floor) + slot_rasters * t_agg_batch
         fused = (
             26 * (t_cond_fused + floor)
             + (slot_rasters - 26) * t_agg_batch
         )
-        return 1000 * t_step + min(sep, fused)
+        chained = (
+            26 * t_view_chain
+            + slot_rasters * t_agg_batch
+            + n_chains(cap) * floor
+        )
+        return 1000 * t_step + min(sep, fused, chained)
 
-    results["full_3x9_scenes_per_sec"] = batch / t_3x9(n_slots(None))
-    results["full_3x9_scenes_per_sec_k8capped_lossy"] = batch / t_3x9(n_slots(8))
+    results["full_3x9_scenes_per_sec"] = batch / t_3x9(None)
+    results["full_3x9_scenes_per_sec_k8capped_lossy"] = batch / t_3x9(8)
 
     # SR cascade step (secondary metric; reference: configs/*_sr.json,
     # diffusion/trainers/superres.py:124 — 50-step guided DDIM at 256²).

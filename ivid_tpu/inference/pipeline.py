@@ -200,6 +200,15 @@ class ScenePipeline:
             os.environ.get("IVID_TPU_FUSED_COND_VIEW", "1") == "1"
         )
         self._cond_view_fn = jax.jit(self._cond_view_body)
+        # Chained cond views: runs of consecutive views that share one
+        # slot-count S execute as ONE scan dispatch (gather + aggregation +
+        # guided DDIM + mesh lift + slot write per scan step), amortizing the
+        # per-dispatch relay floor AND the per-view mesh-lift dispatch. The
+        # value is the max views per dispatch — each view is ~5.8 s of device
+        # time at batch 16, and the relay kills dispatches past ~1-2 min, so
+        # 4 (23 s) is the production ceiling. 0 disables (per-view programs).
+        self._cond_chain = int(os.environ.get("IVID_TPU_COND_CHAIN", "0"))
+        self._cond_chain_fn = jax.jit(self._cond_chain_body)
 
     # ---- jitted bodies ----
 
@@ -324,6 +333,40 @@ class ScenePipeline:
         # device-internal.
         return samples, {"color": agg["color"], "depth": agg["depth"]}
 
+    def _cond_chain_body(
+        self, params, state_meshes, state_colors, keys, idxs, valids, mvs,
+        slots, classes,
+    ):
+        """K chained cond views in one program (see ``_cond_chain`` note).
+
+        Per scan step: gather the S conditioning slots (``idxs`` [K, B, S] —
+        prefix ``arange`` below the nearest-view cap, per-sample nearest-K
+        above it), aggregate, run guided DDIM, lift the completed view to a
+        mesh, and write it into slot ``slots[k]`` of the carried scene state.
+        RNG keys are presplit by the host driver in the exact per-view order,
+        so chained and per-view sampling draw identical noise."""
+
+        def step(carry, xs):
+            sm, sc = carry
+            key, idx, valid, mv, slot = xs
+            take = lambda a: jax.vmap(lambda s_, i: s_[i])(a, idx)
+            meshes_j = jax.tree.map(take, sm)
+            colors_j = take(sc)
+            agg = self._agg_body(meshes_j, colors_j, valid, mv)
+            x = self._guided_ddim_body(params, key, agg, classes)
+            rgbd01 = x * 0.5 + 0.5
+            mesh = self._make_meshes(rgbd01, mv)
+            sm = jax.tree.map(
+                lambda acc, new: acc.at[:, slot].set(new), sm, mesh
+            )
+            sc = sc.at[:, slot].set(rgbd01[..., :3])
+            return (sm, sc), (x, agg["color"], agg["depth"])
+
+        (sm, sc), (xs_out, cols, deps) = jax.lax.scan(
+            step, (state_meshes, state_colors), (keys, idxs, valids, mvs, slots)
+        )
+        return sm, sc, xs_out, cols, deps
+
     def _cond_step(self, params, rng, meshes, colors, valid, modelview, classes):
         if self._fused_cond:
             return self._cond_view_fn(
@@ -410,6 +453,63 @@ class ScenePipeline:
         # mvs_host was captured before sharding: device_get on a data-sharded
         # mvs is not fully addressable on multi-host meshes.
         cap = self.max_agg_views
+
+        def view_spec(j):
+            """(S, idx [B, S], valid [S]) — view ``j``'s conditioning slots."""
+            if cap is not None and j > cap:
+                return (
+                    cap,
+                    select_nearest_views(mvs_host, j, cap),
+                    np.ones((cap,), bool),
+                )
+            S = _slot_bucket(j, self.max_views)
+            return (
+                S,
+                np.broadcast_to(np.arange(S), (batch, S)),
+                np.arange(S) < j,
+            )
+
+        if self._cond_chain > 1:
+            j = 1
+            while j < n_views:
+                S = view_spec(j)[0]
+                run = [j]
+                while (
+                    len(run) < self._cond_chain
+                    and run[-1] + 1 < n_views
+                    and view_spec(run[-1] + 1)[0] == S
+                ):
+                    run.append(run[-1] + 1)
+                keys = []
+                for _ in run:
+                    rng, rj = jax.random.split(rng)
+                    keys.append(rj)
+                specs = [view_spec(jj) for jj in run]
+                sm, sc, xs_out, cols, deps = self._cond_chain_fn(
+                    params_cond, state.meshes, state.colors,
+                    jnp.stack(keys),
+                    jnp.asarray(np.stack([s[1] for s in specs])),
+                    jnp.asarray(np.stack([s[2] for s in specs])),
+                    jnp.swapaxes(mvs[:, run[0] : run[-1] + 1], 0, 1),
+                    jnp.asarray(np.asarray(run, np.int32)),
+                    classes,
+                )
+                valid_h = state.valid.copy()
+                valid_h[run] = True
+                state = SceneState(meshes=sm, colors=sc, valid=valid_h)
+                for k in range(len(run)):
+                    samples.append(xs_out[k])
+                    conds["color"].append(cols[k] * 2 - 1)
+                    conds["depth"].append(deps[k] * 2 - 1)
+                j = run[-1] + 1
+            samples = jnp.stack(samples, axis=1)
+            conds_out = (
+                {k: jnp.stack(v, axis=1) for k, v in conds.items()}
+                if conds["color"]
+                else None
+            )
+            return state, samples, conds_out
+
         for j in range(1, n_views):
             rng, rj = jax.random.split(rng)
             if cap is not None and j > cap:

@@ -207,3 +207,34 @@ def test_pipeline_max_agg_views():
     )
     assert samples_cap1.shape == samples_all.shape
     assert np.isfinite(np.asarray(samples_cap1)).all()
+
+
+@pytest.mark.parametrize(
+    "cap", [None, pytest.param(2, marks=pytest.mark.slow)]
+)
+def test_cond_chain_matches_per_view(monkeypatch, cap):
+    # The chained cond-view scan (IVID_TPU_COND_CHAIN: K views per dispatch,
+    # state carried on-device) must reproduce the per-view fused path exactly:
+    # same presplit rng keys, same gather semantics (prefix arange below the
+    # nearest-view cap, per-sample nearest-K above it), same slot writes.
+    views = np.stack([np.asarray(v) for v in build_viewset("3x9", 1)[:4]])
+
+    def run(chain):
+        monkeypatch.setenv("IVID_TPU_COND_CHAIN", chain)
+        pipe, pu, pc = _make_pipeline(steps_uncond=2, steps_cond=2)
+        if cap is not None:
+            pipe.max_agg_views = cap
+        assert pipe._cond_chain == int(chain)
+        state, samples, conds = pipe.sample_batch(
+            pu, pc, jax.random.PRNGKey(3), views, batch=2
+        )
+        return state, np.asarray(samples), np.asarray(conds["color"])
+
+    st1, s1, c1 = run("4")
+    st0, s0, c0 = run("0")
+    assert st1.valid[:4].all()
+    np.testing.assert_allclose(s1, s0, atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(c1, c0, atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(st1.colors), np.asarray(st0.colors), atol=1e-5, rtol=1e-5
+    )
