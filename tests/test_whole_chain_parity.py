@@ -328,3 +328,177 @@ def test_cond_inpaint_chain_statistical():
         np.repeat(depth_jax, 3, axis=-1).astype(np.float32),
         "cond-inpaint-depth",
     )
+
+
+def _scene_condition_sets(n: int, size: int):
+    """Per-sample conditioning rendered TWO ways from the SAME scenes:
+    the production aggregation path (Pallas raster -> _condition_tail) and
+    the GLSL-literal NumPy oracle (test_aggregation_oracle) through the same
+    tail. Replaces the synthetic stubs so the renderer->sampler link is gated
+    end-to-end (reference: rgbd_3d/utils.py:420-477, shaders/aggregation.csh).
+    """
+    from test_aggregation_oracle import (
+        _mesh_dicts,
+        oracle_render_aggregation,
+    )
+
+    from ivid_tpu.ops import camera as cam
+    from ivid_tpu.ops import geometry as geom
+    from ivid_tpu.ops import warp as warp_ops
+    from ivid_tpu.ops.warp import _condition_tail
+
+    near, far, fov = 0.6, 5.0, 45.0
+    atol = rtol = 0.03
+    erode_rgb, ssaa = 3, 3
+    n_views = 2
+    rng = np.random.RandomState(5)
+
+    ii = np.linspace(0, 1, size)
+    yy, xx = np.meshgrid(ii, ii, indexing="ij")
+
+    mesh_fn = jax.jit(
+        jax.vmap(
+            lambda d01, mv: geom.depth_to_mesh(
+                geom.linearize_depth(d01, near, far),
+                padding="frustum", fov=fov, modelview=mv,
+                atol=atol, rtol=rtol, erode_rgb=erode_rgb, cal_normal=True,
+            )
+        )
+    )
+    agg_fn = jax.jit(
+        lambda m, c, mv: warp_ops.aggregate_conditions(
+            m, c, jnp.ones((n_views,), bool), mv, fov=fov, near=near,
+            far=far, atol=atol, rtol=rtol, erode_rgb=erode_rgb, ssaa=ssaa,
+        )
+    )
+    tail_fn = jax.jit(
+        lambda res: _condition_tail(
+            res, size, ssaa, near, far, "z_buffer", atol, rtol, erode_rgb
+        )
+    )
+
+    keys = ["color", "depth", "mask", "mask_rgb", "depth_convex"]
+    repo = {k: [] for k in keys}
+    oracle = {k: [] for k in keys}
+    for i in range(n):
+        ph = rng.uniform(0, 6.28, size=(n_views, 1, 1))
+        amp = rng.uniform(0.02, 0.05)
+        d01 = np.clip(
+            0.35 + 0.3 * yy[None] + amp * np.sin(xx[None] * 9 + ph)
+            + 0.05 * np.sin(xx[None] * 21) * np.sin(yy[None] * 17),
+            0.05, 0.95,
+        ).astype(np.float32)[..., None]
+        colors = rng.uniform(0, 1, (n_views, size, size, 3)).astype(np.float32)
+        yaws = rng.uniform(-0.35, 0.35, size=(n_views + 1,))
+        pitches = rng.uniform(-0.2, 0.2, size=(n_views + 1,))
+        mvs = np.stack([
+            np.asarray(cam.orbit_modelview(yaws[v], pitches[v]))
+            for v in range(n_views + 1)
+        ])
+        meshes = mesh_fn(jnp.asarray(d01), jnp.asarray(mvs[:n_views]))
+        target = mvs[n_views]
+
+        got = agg_fn(meshes, jnp.asarray(colors), jnp.asarray(target))
+        for k in keys:
+            repo[k].append(np.asarray(got[k]))
+
+        res = oracle_render_aggregation(
+            _mesh_dicts(meshes, n_views), colors,
+            np.ones((n_views,), bool), target, fov, size * ssaa,
+            0.01, 200.0,  # raster near/far (warp.aggregate_conditions defaults)
+        )
+        want = tail_fn({
+            "color": jnp.asarray(res["color"], jnp.float32),
+            "depth": jnp.asarray(res["depth"], jnp.float32),
+            "mask_color": jnp.asarray(res["mask_color"], jnp.float32),
+            "mask_depth": jnp.asarray(res["mask_depth"], jnp.float32),
+        })
+        for k in keys:
+            oracle[k].append(np.asarray(want[k]))
+
+    repo = {k: np.stack(v) for k, v in repo.items()}
+    oracle = {k: np.stack(v) for k, v in oracle.items()}
+    return repo, oracle
+
+
+def test_cond_inpaint_chain_oracle_rendered_conditions():
+    """Renderer->sampler link, gated end to end: the guided InpaintCFG chain
+    fed PRODUCTION-rendered conditions (JAX side) must be statistically
+    indistinguishable from the live reference chain fed ORACLE-rendered
+    conditions of the same scenes. A weighting/flag/tail bug anywhere in the
+    conditioning path shifts the condition images and fails the gate
+    (reference: inference/sample.py:100-124 + rgbd_3d/utils.py:420-477)."""
+    import torch
+
+    ref, tm, jm, params = _build_pair(in_channels=10, seed=2)
+    rfw = ref.frameworks.InpaintCFG(
+        tm, p_uncond=0.1, timesteps=T, beta_schedule="linear"
+    )
+    jfw = build_framework(
+        "InpaintCFG", jm,
+        {"timesteps": T, "beta_schedule": "linear", "p_uncond": 0.1},
+    )
+    repo_c, oracle_c = _scene_condition_sets(N, SIZE)
+    # The two renderings must agree closely BEFORE the chains run (renderer
+    # parity); the chain gate below then covers the packing/edit plumbing.
+    # mask (depth coverage) tolerates the pad-weight tie regime: skirt
+    # pixels accumulate exact-1e-8 weights whose shader tie comparisons
+    # (aggregation.csh both-pad branch) sit on float knife edges, so the
+    # f32 production raster and the f64 oracle flip ~3% of them — measured
+    # scene-independent (spread/slope sweep, round 5). mask_rgb has no pad
+    # contribution and must agree essentially exactly.
+    assert np.mean(repo_c["mask_rgb"] != oracle_c["mask_rgb"]) < 0.005
+    assert np.mean(repo_c["mask"] != oracle_c["mask"]) < 0.05
+    assert repo_c["mask"].mean() > 0.2  # scenes actually cover the frame
+    classes = np.random.default_rng(3).integers(0, NUM_CLASSES, size=(N,))
+
+    def pack(c):
+        color2 = c["color"] * 2 - 1
+        depth2 = c["depth"] * 2 - 1
+        return color2, depth2, c["mask"], c["mask_rgb"], c["depth_convex"]
+
+    color2, depth2, mask, mask_rgb, depth_convex = pack(oracle_c)
+    rs = ref.samplers.DdimSampler(rfw)
+    torch.manual_seed(21)
+    with torch.no_grad():
+        rout = rs.sample(
+            N,
+            classes=torch.from_numpy(classes).long(),
+            steps=10,
+            strength=GUIDANCE,
+            y=_nchw(np.concatenate([color2, depth2], axis=-1)),
+            mask=_nchw(mask),
+            mask_rgb=_nchw(mask_rgb),
+            replace_rgb=(0.1, _nchw(color2), _nchw(mask_rgb)),
+            replace_depth=(0.2, _nchw(depth2), _nchw(mask)),
+            constrain_depth=(0.5, _nchw(depth_convex * 2 - 1)),
+            verbose=False,
+        )
+    ref_final = _nhwc(rout.samples)
+
+    color2, depth2, mask, mask_rgb, depth_convex = pack(repo_c)
+    cond = {
+        "y": jnp.asarray(np.concatenate([color2, depth2], axis=-1)),
+        "mask": jnp.asarray(mask),
+        "mask_rgb": jnp.asarray(mask_rgb),
+        "classes": jnp.asarray(classes, jnp.int32),
+    }
+    edits = PredX0Edits(
+        replace_rgb=(0.1, jnp.asarray(color2), jnp.asarray(mask_rgb)),
+        replace_depth=(0.2, jnp.asarray(depth2), jnp.asarray(mask)),
+        constrain_depth=(0.5, jnp.asarray(depth_convex * 2 - 1)),
+    )
+    jout = samplers.ddim_sample(
+        jfw, params, jax.random.PRNGKey(21), num=N, image_size=SIZE,
+        cond=cond, guidance=GUIDANCE, steps=10, edits=edits,
+    )
+    jax_final = np.asarray(jout["samples"])
+    assert np.isfinite(jax_final).all() and np.isfinite(ref_final).all()
+    _stat_gate(_to_rgb01(ref_final), _to_rgb01(jax_final), "cond-oracle-rendered")
+    depth_ref = np.clip(ref_final[..., 3:] * 0.5 + 0.5, 0, 1)
+    depth_jax = np.clip(jax_final[..., 3:] * 0.5 + 0.5, 0, 1)
+    _stat_gate(
+        np.repeat(depth_ref, 3, axis=-1).astype(np.float32),
+        np.repeat(depth_jax, 3, axis=-1).astype(np.float32),
+        "cond-oracle-rendered-depth",
+    )
