@@ -41,18 +41,27 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 
-def _row_block(rows: int) -> int:
-    """Rows (H*W positions) per grid step; env-overridable for sweeps."""
+def _row_block(
+    rows: int, n: int, c1: int, c2: int, o: int, itemsize: int, with_h: bool
+) -> int:
+    """Rows (H*W positions) per grid step, sized to the 16 MB scoped-VMEM
+    budget: Mosaic double-buffers every input/output block across grid steps,
+    plus the f32 accumulator. A fixed RB=64 measured a compile-time VMEM OOM
+    at the SR up_3 pair ([64,54,512/384/384] blocks = 25.7 MB scoped, limit
+    16 MB). Env-overridable for sweeps (``IVID_TPU_PAIR_RB``)."""
     v = os.environ.get("IVID_TPU_PAIR_RB")
     if v:
         rb = int(v)
         if rows % rb:
             raise ValueError(f"IVID_TPU_PAIR_RB={rb} must divide rows={rows}")
         return rb
-    for rb in (64, 32, 16, 8):
-        if rows % rb == 0:
-            return rb
-    return 1
+    io_elems = c1 + c2 + o + (o if with_h else 0)
+    per_row = n * (io_elems * itemsize * 2 + o * 4)
+    cap = 10 * 2**20
+    rb = 64
+    while rb > 1 and (rb * per_row > cap or rows % rb):
+        rb //= 2
+    return rb
 
 
 def _pair_kernel(x_ref, s_ref, h_ref, kx_ref, ks_ref, b_ref, o_ref):
@@ -75,7 +84,9 @@ def _pair_conv_pallas(x, skip, h, kern_x, kern_s, bias, *, interpret=False):
     c2 = skip.shape[-1]
     o = kern_x.shape[-1]
     rows = hh * ww
-    rb = _row_block(rows)
+    rb = _row_block(
+        rows, n, c1, c2, o, jnp.dtype(x.dtype).itemsize, h is not None
+    )
 
     # Layout-riding view: [N,H,W,C]{3,0,2,1} == [H*W,N,C] default layout.
     tr = lambda t: jnp.transpose(t, (1, 2, 0, 3)).reshape(rows, n, t.shape[-1])
