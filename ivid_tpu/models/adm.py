@@ -26,8 +26,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ivid_tpu.ops import pair_conv
-
 Dtype = jnp.dtype
 
 
@@ -141,18 +139,18 @@ class SplitConv(nn.Module):
             jnp.float32,
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
-        if k == 1 and len(parts) == 2 and pair_conv.use_pair_skip():
-            # Fused single-pass pair (+ the caller's residual add): one HBM
-            # read of each operand instead of the conv pair's partial-sum
-            # round trip (ops/pair_conv.py; round-5 trace: 17.05 ms/step on
-            # the SR up_0 pairs at 638 GB/s). Interpret mode keeps the knob
-            # testable off-TPU.
-            c1 = parts[0].shape[-1]
-            return pair_conv.pair_conv1x1(
-                parts[0], parts[1], add,
-                kern[0, 0, :c1], kern[0, 0, c1:], bias, self.dtype,
-                jax.default_backend() != "tpu",
-            )
+        # Note (profiled, round 5): a SECOND fused-pair attempt — a Pallas
+        # kernel on the [H*W, N, C] bitcast view of the {3,0,2,1} layout,
+        # avoiding round 2's relayout copies — ALSO lost its model-step A/B
+        # on both models (flagship 123.9 vs 114.4 ms, SR 324.3 vs 278.8; the
+        # retired ops/pair_conv.py, commit f6938cf). The transposes did
+        # lower to bitcasts and the kernel streamed 720 GB/s on the
+        # flagship, but the custom-call boundary unfused the NEXT block's
+        # GroupNorm f32 upcast (+3.3 ms of standalone converts), made XLA
+        # duplicate the encoder down-path adds into the kernel's layout
+        # (+2.5 ms), and Mosaic ran the C=128 SR shape at only 456 GB/s.
+        # The conv pair below keeps every producer/consumer fusion intact —
+        # do NOT redo without an answer for the fusion-boundary glue.
         # Note (profiled, round 2): replacing the k=1 pair with a fused
         # dual-matmul Pallas kernel REGRESSED both models (115.4->126.8 ms
         # flagship, 300->331 ms SR): the flatten to [B*H*W, C] fights the

@@ -125,20 +125,3 @@ def test_graft_entry_lowers_for_tpu(monkeypatch):
 
     fn, args = ge.entry()
     _lower_tpu(fn, *args)
-
-
-def test_pair_conv_lowers_for_tpu():
-    from ivid_tpu.ops import pair_conv
-
-    # SR up_0 (batch 54, C 128) and flagship up_0 (CFG batch 32, C 256)
-    # shapes, shrunk spatially (rows = H*W is the only spatial dependence).
-    for (n, c, o) in [(54, 128, 128), (32, 256, 256)]:
-        x = jnp.zeros((n, 8, 16, c), jnp.bfloat16)
-        s = jnp.zeros((n, 8, 16, c), jnp.bfloat16)
-        h = jnp.zeros((n, 8, 16, o), jnp.bfloat16)
-        kx = jnp.zeros((c, o), jnp.float32)
-        ks = jnp.zeros((c, o), jnp.float32)
-        b = jnp.zeros((o,), jnp.float32)
-        f = lambda *a: pair_conv.pair_conv1x1(*a, jnp.bfloat16, False)  # noqa: E731
-        _lower_tpu(f, x, s, h, kx, ks, b)
-        _lower_tpu(f, x, s, None, kx, ks, b)
