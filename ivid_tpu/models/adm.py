@@ -338,10 +338,18 @@ class ResBlock(nn.Module):
         if x.shape[-1] != self.out_channels:
             x = _conv(self.out_channels, 1, self.dtype, name="skip_conv")(x)
         if self.up:
-            # Fused residual add: up(x) + h computed as a broadcast-add over
-            # h's 2x2 phase view — the materialized [B,2H,2W,C] upsample of x
-            # (a pure-bandwidth broadcast, profiled ~0.7 ms/step across the
-            # decoder's upsample blocks at batch 32) never hits HBM.
+            import os
+
+            if os.environ.get("IVID_TPU_UP_ADD", "phase") == "4d":
+                # Plain 4-D residual: ``out_conv(...) + up(x)``. The round-5
+                # SR trace caught the phase-view form below materializing its
+                # 6-D broadcast anyway (1.95 ms/step at upsample_1, 580 GB/s
+                # — the docstring's "never hits HBM" was wrong); the 4-D form
+                # is a clean conv+add XLA can fold into the out_conv epilogue
+                # (convolution_add_fusion) with the broadcast computed
+                # in-fusion. Bit-identical math; A/B'd on chip.
+                return h + upsample_nearest_2x(x)
+            # Residual add over h's 2x2 phase view.
             b, hh, ww, c = h.shape
             y = h.reshape(b, hh // 2, 2, ww // 2, 2, c)
             y = y + x[:, :, None, :, None, :]

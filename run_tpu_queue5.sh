@@ -1,6 +1,6 @@
 #!/bin/bash
-# Round-5 on-chip queue, phase 4: attribute the pair-kernel flagship loss
-# (123.9 vs 114.4 ms) — profile pair-ON steps on both models and decompose.
+# Round-5 on-chip queue, phase 5: upsample-add A/B, host-warp overlap demo,
+# full bench (measures the chained cond view for the 3x9 accounting).
 set -x
 cd /root/repo
 export PYTHONPATH=/root/repo:$PYTHONPATH
@@ -9,17 +9,16 @@ date >> $L
 
 phase() { echo "=== $1 ===" >> $L; }
 
-phase "P4a flagship pair ON profiled"
-rm -rf /tmp/flag_pair_prof
-IVID_TPU_PAIR_SKIP=1 timeout 1800 python bench_step.py --profile /tmp/flag_pair_prof >> $L 2>&1
-phase "P4a trace"
-timeout 600 python bench_trace.py /tmp/flag_pair_prof --top 40 --steps 3 >> $L 2>&1
+phase "P5a SR up-add 4d (baseline 278.84)"
+IVID_TPU_UP_ADD=4d timeout 1800 python bench_sr.py >> $L 2>&1
+phase "P5b flagship up-add 4d (baseline 114.36)"
+IVID_TPU_UP_ADD=4d timeout 1800 python bench_step.py >> $L 2>&1
 
-phase "P4b SR pair ON (VMEM-sized RB)"
-rm -rf /tmp/sr_pair_prof
-IVID_TPU_PAIR_SKIP=1 timeout 1800 python bench_sr.py --profile /tmp/sr_pair_prof >> $L 2>&1
-phase "P4b trace"
-timeout 600 python bench_trace.py /tmp/sr_pair_prof --top 40 --steps 3 >> $L 2>&1
+phase "P5c host-warp overlap demo"
+timeout 2400 python bench_warp_host.py --steps 30 --batches 2,8 >> $L 2>&1
 
-phase "DONE phase4"
+phase "P5d full bench.py"
+timeout 5400 python bench.py >> $L 2>&1
+
+phase "DONE phase5"
 date >> $L

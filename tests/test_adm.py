@@ -302,3 +302,21 @@ def test_upsample_fused_residual_add_matches_old_formulation():
         # h path is independent of the residual formulation: with zero-init
         # out_conv, h == out_conv bias == 0, so out must equal xu exactly.
         np.testing.assert_allclose(np.asarray(out), np.asarray(xu), atol=1e-6)
+
+
+def test_up_add_4d_matches_phase_view(monkeypatch):
+    """The 4-D up-block residual (IVID_TPU_UP_ADD=4d) is the same math as
+    the phase-view add — bit-identical outputs."""
+    from ivid_tpu.models.adm import ResBlock
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 32))
+    emb = jax.random.normal(jax.random.PRNGKey(1), (2, 16))
+    mod = ResBlock(out_channels=32, num_groups=8, up=True, dtype=jnp.float32)
+    params = mod.init(jax.random.PRNGKey(2), x, emb, deterministic=True)
+
+    monkeypatch.setenv("IVID_TPU_UP_ADD", "phase")
+    want = mod.apply(params, x, emb, deterministic=True)
+    monkeypatch.setenv("IVID_TPU_UP_ADD", "4d")
+    got = mod.apply(params, x, emb, deterministic=True)
+    assert got.shape == (2, 16, 16, 32)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
