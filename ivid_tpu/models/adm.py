@@ -222,6 +222,15 @@ class _HeadConv(nn.Module):
             x, kern, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.float32,
         )
+        import os
+
+        if pad and os.environ.get("IVID_TPU_HEAD_BARRIER", "0") == "1":
+            # Keep the slice OUT of the conv fusion: fused, the conv's output
+            # takes the half-empty T(4,128) tile and streams its input at
+            # only 314 GB/s (round-5 SR trace, 3.06 ms/step). Behind the
+            # barrier the conv keeps the 8-padded T(8,128) output; the
+            # slice+bias runs as a separate cheap pass over the small output.
+            y = jax.lax.optimization_barrier(y)
         return y[..., : self.features] + bias
 
 
@@ -403,7 +412,9 @@ def _use_split_skip() -> bool:
     v = os.environ.get("IVID_TPU_SPLIT_SKIP", "auto")
     if v in ("0", "1"):
         return v == "1"
-    return jax.default_backend() == "tpu"
+    from ivid_tpu.ops.raster import exec_platform
+
+    return exec_platform() == "tpu"
 
 
 def _attention_impl(seq: int, heads: int, head_dim: int) -> str:
@@ -420,10 +431,11 @@ def _attention_impl(seq: int, heads: int, head_dim: int) -> str:
     import os
 
     from ivid_tpu.ops import attention as attn_ops
+    from ivid_tpu.ops.raster import exec_platform
 
     impl = os.environ.get("IVID_TPU_ATTN", "auto")
     if impl == "packed" and not (
-        jax.default_backend() == "tpu"
+        exec_platform() == "tpu"
         # strict: an explicit packed request with a non-dividing BQ override
         # raises instead of silently measuring a different implementation.
         and attn_ops.supports_packed(seq, heads, head_dim, strict=True)
@@ -435,12 +447,12 @@ def _attention_impl(seq: int, heads: int, head_dim: int) -> str:
 
         warnings.warn(
             f"IVID_TPU_ATTN=packed unsupported for seq={seq} heads={heads} "
-            f"head_dim={head_dim} on {jax.default_backend()}; using auto",
+            f"head_dim={head_dim} on {exec_platform()}; using auto",
             stacklevel=2,
         )
         impl = "auto"
     if impl == "flash" and not (
-        jax.default_backend() == "tpu"
+        exec_platform() == "tpu"
         and attn_ops.supports_flash(seq, heads, head_dim)
     ):
         # Same validation the packed override gets: flash is a Pallas TPU
@@ -450,7 +462,7 @@ def _attention_impl(seq: int, heads: int, head_dim: int) -> str:
 
         warnings.warn(
             f"IVID_TPU_ATTN=flash unsupported for seq={seq} heads={heads} "
-            f"head_dim={head_dim} on {jax.default_backend()}; using auto",
+            f"head_dim={head_dim} on {exec_platform()}; using auto",
             stacklevel=2,
         )
         impl = "auto"
@@ -459,7 +471,7 @@ def _attention_impl(seq: int, heads: int, head_dim: int) -> str:
     # Back-compat escape hatch from round 2's A/B testing.
     if os.environ.get("IVID_TPU_FLASH_ATTN", "1") != "1":
         return "einsum"
-    if jax.default_backend() != "tpu" or seq < 512 or seq % 512:
+    if exec_platform() != "tpu" or seq < 512 or seq % 512:
         return "einsum"
     if attn_ops.supports_packed(seq, heads, head_dim):
         return "packed"

@@ -39,6 +39,23 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def exec_platform() -> str:
+    """Platform the CURRENT computation executes on.
+
+    Honors the ``jax.default_device`` scope — a host-side CPU program built
+    inside a TPU session (loader-worker warp synthesis, data/warp_host.py)
+    must pick the CPU raster path even though the process default backend is
+    "tpu" (caught live: the tiled resolve traced with interpret=False on a
+    CPU placement and failed to lower)."""
+    import jax
+
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        return getattr(dev, "platform", str(dev))
+    return jax.default_backend()
+
+
+
 def barycentric_lattice(level: int) -> np.ndarray:
     """``level**2`` sample points uniformly covering the unit triangle, via the
     parallelogram fold: grid points with a+b>1 are mirrored to (1-a, 1-b)."""
@@ -221,7 +238,7 @@ def resolve_zbuffer(
 
     choice = os.environ.get("IVID_TPU_RASTER", "auto")
     if choice == "auto":
-        choice = "tiled" if jax.default_backend() == "tpu" else "scatter"
+        choice = "tiled" if exec_platform() == "tpu" else "scatter"
         if choice == "tiled":
             from ivid_tpu.ops import raster_tiled
 
@@ -236,7 +253,7 @@ def resolve_zbuffer(
 
         return resolve_zbuffer_tiled(
             fragments, payloads, render_size,
-            interpret=jax.default_backend() != "tpu",
+            interpret=exec_platform() != "tpu",
             num_buffers=num_buffers,
         )
     return resolve_zbuffer_scatter(

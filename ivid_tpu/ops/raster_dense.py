@@ -29,6 +29,8 @@ from __future__ import annotations
 from typing import NamedTuple, Optional
 
 import jax
+
+from ivid_tpu.ops import raster as _raster
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -52,7 +54,7 @@ def _use_pallas(interpret: bool) -> bool:
 
     impl = os.environ.get("IVID_TPU_SKIRT_IMPL", "auto")
     return impl != "xla" and (
-        interpret or jax.default_backend() == "tpu" or impl == "pallas"
+        interpret or _raster.exec_platform() == "tpu" or impl == "pallas"
     )
 
 

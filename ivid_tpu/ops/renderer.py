@@ -72,7 +72,9 @@ def _raster_mode(override: Optional[str] = None) -> str:
         v = override
         assert v in ("auto", "full", "hybrid"), v
     if v == "auto":
-        return "full" if jax.default_backend() == "tpu" else "hybrid"
+        from ivid_tpu.ops.raster import exec_platform
+
+        return "full" if exec_platform() == "tpu" else "hybrid"
     return v
 
 
