@@ -3,9 +3,10 @@
 
 Mirrors the reference renderer CLI (reference: inference/render.py:17-88): load
 saved scenes, render a 60-frame swing orbit or a single random pose with the
-aggregation renderer at 5x SSAA, write videos (color + colorized depth) or a
-PNG. The environment ships no ffmpeg, so "video" output is GIF (plus optional
-per-frame PNGs via --save_frames); everything else matches the reference layout
+aggregation renderer at 5x SSAA, write mp4 videos (color + colorized depth)
+or a PNG. mp4 comes from OpenCV's bundled mp4v codec (no ffmpeg binary in
+this image); codec-less installs fall back to GIF. Optional per-frame PNGs
+via --save_frames; everything matches the reference output layout
 (``results/`` for random, ``videos/`` for swing).
 """
 
@@ -32,9 +33,29 @@ def parse_args():
 
 
 def save_video(path_stem: str, frames, fps: int = 30) -> str:
-    """Write mp4 when an ffmpeg backend exists (reference:
-    inference/render.py:74-88 writes mp4), else fall back to GIF — this image
-    ships no ffmpeg binary or imageio-ffmpeg wheel."""
+    """Write mp4 like the reference renderer (inference/render.py:74-88).
+
+    Preferred writer is OpenCV's ``VideoWriter`` (its wheel bundles an mp4v
+    codec, no ffmpeg binary needed); falls back to imageio+ffmpeg, then GIF
+    on codec-less installs. Returns the path actually written."""
+    import numpy as np
+
+    try:
+        import cv2
+
+        out = path_stem + ".mp4"
+        h, w = np.asarray(frames[0]).shape[:2]
+        vw = cv2.VideoWriter(out, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+        if vw.isOpened():
+            for f in frames:
+                f = np.ascontiguousarray(np.asarray(f)[..., ::-1])  # RGB->BGR
+                vw.write(f)
+            vw.release()
+            return out
+        vw.release()
+    except ImportError:
+        pass
+
     import imageio.v2 as imageio
 
     try:
@@ -47,9 +68,8 @@ def save_video(path_stem: str, frames, fps: int = 30) -> str:
         out = path_stem + ".gif"
         imageio.mimsave(out, frames, duration=1 / fps, loop=0)
         print(
-            "note: no ffmpeg backend found — wrote GIF instead of mp4. "
-            "Install `imageio-ffmpeg` (pip install imageio-ffmpeg) to get "
-            f"{path_stem}.mp4 like the reference renderer."
+            "note: no mp4 writer found (cv2 codec-less, no ffmpeg) — wrote "
+            f"GIF instead of {path_stem}.mp4."
         )
         return out
 
