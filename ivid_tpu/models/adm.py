@@ -195,6 +195,44 @@ def _head_bf16() -> bool:
     return os.environ.get("IVID_TPU_HEAD_BF16", "1") == "1"
 
 
+@jax.custom_vjp
+def _conv_f32out(x: jax.Array, kern: jax.Array) -> jax.Array:
+    """Same-dtype 3x3 SAME conv with an f32-accumulated output.
+
+    ``lax.conv_general_dilated`` with ``preferred_element_type=f32`` on bf16
+    operands is NOT transposable — JAX's conv transpose rule feeds the f32
+    cotangent into a conv against the bf16 operand and raises a dtype
+    mismatch (caught live by the round-5 host-warp demo: every bf16-torso
+    TRAIN step failed once IVID_TPU_HEAD_BF16 defaulted ON, which had only
+    been A/B'd on the sampling step). The custom VJP differentiates through
+    the same-dtype conv instead: the cotangent is cast to the operand dtype
+    (standard mixed-precision practice), dx matches x, and the kernel grad
+    re-enters f32 through the caller's astype."""
+    return jax.lax.conv_general_dilated(
+        x, kern, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _conv_f32out_fwd(x, kern):
+    return _conv_f32out(x, kern), (x, kern)
+
+
+def _conv_f32out_bwd(res, g):
+    x, kern = res
+    _, vjp = jax.vjp(
+        lambda x_, k_: jax.lax.conv_general_dilated(
+            x_, k_, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ),
+        x, kern,
+    )
+    return vjp(g.astype(x.dtype))
+
+
+_conv_f32out.defvjp(_conv_f32out_fwd, _conv_f32out_bwd)
+
+
 class _HeadConv(nn.Module):
     """Output-head 3x3 conv with the output-channel dim padded to the f32
     sublane width (8) at apply time. The RGBD head has 4 output channels;
@@ -218,10 +256,7 @@ class _HeadConv(nn.Module):
             kern = jnp.pad(kern, ((0, 0), (0, 0), (0, 0), (0, pad)))
         if x.dtype != jnp.float32:
             kern = kern.astype(x.dtype)
-        y = jax.lax.conv_general_dilated(
-            x, kern, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
-        )
+        y = _conv_f32out(x, kern)
         import os
 
         if pad and os.environ.get("IVID_TPU_HEAD_BARRIER", "0") == "1":

@@ -277,6 +277,36 @@ def test_head_bf16_stream_close_to_f32(monkeypatch):
     )
 
 
+def test_head_bf16_train_grad(monkeypatch):
+    """Regression: a bf16-torso TRAIN step must differentiate through the
+    output head. ``preferred_element_type=f32`` on bf16 conv operands is not
+    transposable (JAX's conv transpose rule feeds the f32 cotangent into a
+    conv against the bf16 input and raises a dtype mismatch) — the round-4
+    IVID_TPU_HEAD_BF16=1 default was A/B'd on the sampling step only and
+    silently broke every bf16 training step until the _conv_f32out custom
+    VJP. Gates: grad computes, is finite, and the head kernel grad is f32
+    and non-zero."""
+    monkeypatch.setenv("IVID_TPU_HEAD_BF16", "1")
+    model = build_adm_unet(dict(SMALL, use_fp16=True))
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 4)).astype(np.float32))
+    t = jnp.array([3, 70], jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), x, t)["params"]
+    target = jnp.asarray(rng.standard_normal(x.shape).astype(np.float32))
+
+    def loss_fn(p):
+        out = model.apply({"params": p}, x, t)
+        return jnp.mean((out - target) ** 2)
+
+    grads = jax.grad(loss_fn)(params)
+    head_g = grads["out_conv"]["kernel"]
+    assert head_g.dtype == jnp.float32
+    assert np.isfinite(np.asarray(head_g)).all()
+    assert float(jnp.abs(head_g).max()) > 0.0
+    leaves = jax.tree.leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+
+
 def test_upsample_fused_residual_add_matches_old_formulation():
     """ResBlock up path: up(x)+h as a 2x2 phase broadcast-add (and the skip
     1x1 conv moved before the upsample) must equal the materialized
