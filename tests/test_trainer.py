@@ -64,6 +64,22 @@ def test_basic_trainer_steps_and_replication(tmp_path):
     assert max(jax.tree.leaves(diff)) > 0
 
 
+@pytest.mark.slow  # fresh bf16-variant compile ~2 min on the 1-core dev box;
+# the fast-tier bug gate is tests/test_adm.py::test_head_bf16_train_grad
+def test_basic_trainer_bf16_torso(tmp_path):
+    """Production configs train with use_fp16=True (bf16 torso on TPU) —
+    the round-4 IVID_TPU_HEAD_BF16 default broke exactly this path while
+    every trainer test ran f32 (caught by the round-5 host-warp demo).
+    Gate the full jitted train step (grads + optimizer + EMA) in bf16."""
+    tr = _make(tmp_path, backbone={"use_fp16": True})
+    l0 = float(tr.run_step()["loss"])
+    l1 = float(tr.run_step()["loss"])
+    assert np.isfinite(l0) and np.isfinite(l1)
+    assert abs(l0 - 1.0) < 0.2
+    # Params stay f32 master copies under the bf16 compute policy.
+    assert all(p.dtype == jnp.float32 for p in jax.tree.leaves(tr.params))
+
+
 @pytest.mark.slow  # ~116s on the 1-core dev box; default tier budget is 20 min
 def test_gradient_accumulation_matches_single(tmp_path):
     """batch_split=2 must produce the same gradient as the full batch.
