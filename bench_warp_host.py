@@ -37,6 +37,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ivid_tpu.utils.runtime import setup_platform
+
+setup_platform()  # honor IVID_TPU_PLATFORM=cpu for harness smoke runs
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -91,23 +95,22 @@ def main():
         assert isinstance(tr._loader_obj.dataset, HostWarpDataset)
 
         # 2. Device step alone: jitted update on one prefetched batch,
-        # varied rng per rep (the relayed backend result-caches).
+        # varied rng per rep (the relayed backend result-caches). The step
+        # donates params/opt_state/ema — thread the returned state through.
         batch0 = tr._global_batch(next(tr.loader))
+        state = (tr.params, tr.opt_state, tr.ema_params)
         for i in range(2):  # compile + warm
-            out = tr._step_fn(
-                tr.params, tr.opt_state, tr.ema_params,
-                jax.random.PRNGKey(i), batch0,
-            )
+            out = tr._step_fn(*state, jax.random.PRNGKey(i), batch0)
+            state = out[:3]
             _ = float(out[3]["loss"])
         t0 = time.perf_counter()
         reps = 5
         for i in range(reps):
-            out = tr._step_fn(
-                tr.params, tr.opt_state, tr.ema_params,
-                jax.random.PRNGKey(10 + i), batch0,
-            )
+            out = tr._step_fn(*state, jax.random.PRNGKey(10 + i), batch0)
+            state = out[:3]
             _ = float(out[3]["loss"])
         t_dev = (time.perf_counter() - t0) / reps
+        tr.params, tr.opt_state, tr.ema_params = state
 
         # 3. Loader-fed steps end to end.
         for _ in range(2):
