@@ -47,6 +47,9 @@ def main():
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--batches", type=str, default="2,8")
     ap.add_argument("--image_size", type=int, default=32)
+    # Raise to push the device step above B*t_warp/W (device-bound regime)
+    # on a host too slow to ever be device-bound at the default size.
+    ap.add_argument("--model_channels", type=int, default=64)
     args = ap.parse_args()
 
     from ivid_tpu.data import SyntheticRGBDWarp
@@ -58,7 +61,8 @@ def main():
     s = args.image_size
     augments = ("prewarp_noise", "postwarp_noise", "blur", "erode_rgb")
     backbone = dict(
-        image_size=s, in_channels=10, out_channels=4, model_channels=64,
+        image_size=s, in_channels=10, out_channels=4,
+        model_channels=args.model_channels,
         num_res_blocks=2, channel_mult=[1, 2], attention_resolutions=[16],
         num_groups=32, num_heads=None, num_head_channels=32,
         num_classes=None, has_null_class=False, dropout=0.0, use_fp16=True,
