@@ -307,6 +307,39 @@ def test_head_bf16_train_grad(monkeypatch):
     assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
 
 
+@pytest.mark.slow  # second full model grad (~1 min); numeric tier of the gate above
+def test_head_bf16_train_grad_close_to_f32_head(monkeypatch):
+    """The bf16-head custom-VJP gradients must agree with the f32-head
+    path to bf16 rounding: same math, one narrower activation stream."""
+    model = build_adm_unet(dict(SMALL, use_fp16=True))
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 4)).astype(np.float32))
+    t = jnp.array([5, 50], jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), x, t)["params"]
+    # Non-zero head so the head kernel grad path is exercised non-trivially.
+    params = jax.tree.map(lambda p: p + 0.01 * np.float32(1.0), params)
+    target = jnp.asarray(rng.standard_normal(x.shape).astype(np.float32))
+
+    def loss_fn(p):
+        out = model.apply({"params": p}, x, t)
+        return jnp.mean((out - target) ** 2)
+
+    monkeypatch.setenv("IVID_TPU_HEAD_BF16", "0")
+    g_ref = jax.grad(loss_fn)(params)
+    monkeypatch.setenv("IVID_TPU_HEAD_BF16", "1")
+    g_bf16 = jax.grad(loss_fn)(params)
+    ref_l, tree = jax.tree_util.tree_flatten(g_ref)
+    new_l = jax.tree_util.tree_flatten(g_bf16)[0]
+    for a, b in zip(ref_l, new_l):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        scale = max(1e-3, float(np.abs(a).max()))
+        # bf16 rounding through the narrower head stream propagates into
+        # every torso grad; 12% of leaf scale bounds it with headroom
+        # (observed max 6.1%) while still failing on any structural error
+        # (a dropped term or wrong cotangent dtype shifts entire leaves).
+        np.testing.assert_allclose(b / scale, a / scale, atol=0.12)
+
+
 def test_upsample_fused_residual_add_matches_old_formulation():
     """ResBlock up path: up(x)+h as a 2x2 phase broadcast-add (and the skip
     1x1 conv moved before the upsample) must equal the materialized
