@@ -297,6 +297,21 @@ def test_tensor_parallel_mesh(tmp_path):
     assert not all(shardings)
 
 
+@pytest.mark.slow  # two extra trainer builds; default tier budget is 20 min
+@pytest.mark.parametrize("mp", [4, 8])
+def test_tensor_parallel_wider_splits(tmp_path, mp):
+    """The sharding rules must generalize beyond the dryrun's mp=2: a
+    data=2 x model=4 and a pure-TP 1x8 mesh both step with finite loss
+    and a consistent replicated view."""
+    from ivid_tpu.parallel import check_replication
+
+    tr = _make(tmp_path, model_parallel=mp)
+    assert dict(tr.mesh.shape) == {"data": 8 // mp, "model": mp}
+    loss = tr.run_step()
+    assert np.isfinite(float(loss["loss"]))
+    check_replication(tr.params)
+
+
 @pytest.mark.slow  # ~92s on the 1-core dev box; default tier budget is 20 min
 def test_kill_and_resume_reproduces_loss_sequence(tmp_path):
     """A trainer killed after step 2 and resumed from its checkpoint must
