@@ -378,5 +378,45 @@ def main():
     )
 
 
+def _run_with_retries(attempts: int = 3, backoff_s: float = 240.0) -> None:
+    """Run the bench in a fresh subprocess per attempt.
+
+    The relayed TPU backend flaps (CLAUDE.md: worker crashes kill in-flight
+    dispatches and can leave the in-process backend unusable for minutes), so
+    a retry must start from a clean process. The persistent compilation cache
+    makes retried attempts compile-free; only the final attempt's failure is
+    fatal. The successful attempt's stdout (the one JSON line) passes through.
+    """
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, IVID_TPU_BENCH_INNER="1")
+    for attempt in range(1, attempts + 1):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True,
+        )
+        sys.stdout.write(proc.stdout)
+        sys.stderr.write(proc.stderr)
+        sys.stdout.flush()
+        sys.stderr.flush()
+        if proc.returncode == 0:
+            return
+        if attempt < attempts:
+            print(
+                f"bench attempt {attempt} failed (rc={proc.returncode}); "
+                f"retrying in {backoff_s:.0f}s",
+                file=sys.stderr,
+            )
+            time.sleep(backoff_s)
+    raise SystemExit(proc.returncode)
+
+
 if __name__ == "__main__":
-    main()
+    import os
+
+    if os.environ.get("IVID_TPU_BENCH_INNER") == "1":
+        main()
+    else:
+        _run_with_retries()
